@@ -1,0 +1,123 @@
+"""Unit tests for geometry, basins, and the bilinear gather engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.interpolate import RectBivariateSpline
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.ops import interp, sphere
+from tropical_cyclone_risk_tpu.utils import basins
+
+CFG = Namelist()
+
+
+# ----------------------------- sphere -----------------------------
+
+def _haversine_np(lon1, lat1, lon2, lat2):
+    lon1, lat1, lon2, lat2 = map(np.deg2rad, (lon1, lat1, lon2, lat2))
+    a = (np.sin((lat2 - lat1) / 2) ** 2 +
+         np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2)
+    return 6.3781e3 * 2 * np.arcsin(np.sqrt(a))
+
+
+def test_haversine_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    lon1, lon2 = rng.uniform(0, 360, (2, 100))
+    lat1, lat2 = rng.uniform(-80, 80, (2, 100))
+    got = np.asarray(sphere.haversine(lon1, lat1, lon2, lat2))
+    want = _haversine_np(lon1, lat1, lon2, lat2)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_haversine_equator_degree():
+    # 1 degree along the equator ~ 111.3 km for R=6378.1 km
+    km = float(sphere.haversine(10.0, 0.0, 11.0, 0.0))
+    assert abs(km - 2 * np.pi * 6378.1 / 360) < 0.1
+
+
+def test_translational_speed_constant_motion():
+    # storm moving due east at constant dlon/dt near the equator
+    t = np.arange(20)
+    lon = 100.0 + 0.1 * t
+    lat = np.zeros_like(lon)
+    ut, vt = sphere.translational_speed(jnp.asarray(lon), jnp.asarray(lat), 3600.0)
+    expect_u = 0.1 * 2 * np.pi * 6.3781e6 / 360 / 3600
+    np.testing.assert_allclose(np.asarray(ut), expect_u, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(vt), 0.0, atol=1e-6)
+
+
+# ----------------------------- basins -----------------------------
+
+def test_basin_bounds_parse():
+    assert basins.basin_bounds(CFG, 'NA') == (260.0, 0.0, 360.0, 60.0)
+    assert basins.basin_bounds(CFG, 'SI') == (20.0, -45.0, 100.0, 0.0)
+    assert basins.basin_bounds(CFG, 'GL') == (0.0, -90.0, 360.0, 90.0)
+
+
+def test_in_basin_margin():
+    b = basins.basin_bounds(CFG, 'NA')
+    assert bool(basins.in_basin(300.0, 30.0, b, 1.0))
+    assert not bool(basins.in_basin(260.5, 30.0, b, 1.0))   # within margin
+    assert not bool(basins.in_basin(100.0, 30.0, b, 1.0))
+
+
+def test_invalid_basin_raises():
+    with pytest.raises(ValueError):
+        basins.basin_bounds(CFG, 'XX')
+
+
+def test_roll_field_to_0360():
+    lon = np.array([-180., -90., 0., 90.])
+    field = np.arange(8, dtype=float).reshape(2, 4)
+    lon2, f2 = basins.roll_field_to_0360(lon, field)
+    np.testing.assert_array_equal(lon2, [0., 90., 180., 270.])
+    np.testing.assert_array_equal(f2, field[:, [2, 3, 0, 1]])
+
+
+# ----------------------------- interp -----------------------------
+
+def test_bilinear_matches_scipy_interior_and_extrapolation():
+    rng = np.random.default_rng(1)
+    lon = np.arange(0, 360, 2.0)
+    lat = np.arange(-88, 90, 2.0)
+    field = rng.normal(size=(lat.size, lon.size))
+    spl = RectBivariateSpline(lon, lat, field.T, kx=1, ky=1)
+
+    grid = interp.UniformGrid.from_axes(lon, lat)
+    qlon = rng.uniform(-3, 362, 500)          # includes extrapolation region
+    qlat = rng.uniform(-92, 92, 500)
+    got = np.asarray(interp.bilinear_scalar(
+        jnp.asarray(field, jnp.float64 if jnp.float64.dtype == jnp.zeros(1).dtype else jnp.float32),
+        grid, jnp.asarray(qlon), jnp.asarray(qlat)))
+    want = spl.ev(qlon, qlat)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_bilinear_multichannel_and_planes():
+    rng = np.random.default_rng(2)
+    lon = np.arange(0, 360, 4.0)
+    lat = np.arange(-88, 90, 4.0)
+    field = rng.normal(size=(3, lat.size, lon.size, 5)).astype(np.float32)
+    grid = interp.UniformGrid.from_axes(lon, lat)
+    qlon = rng.uniform(10, 350, 64)
+    qlat = rng.uniform(-80, 80, 64)
+    plane = rng.integers(0, 3, 64)
+    got = np.asarray(interp.bilinear(jnp.asarray(field), grid,
+                                     jnp.asarray(qlon), jnp.asarray(qlat),
+                                     jnp.asarray(plane)))
+    for c in range(5):
+        for p in range(3):
+            spl = RectBivariateSpline(lon, lat, field[p, :, :, c].T, kx=1, ky=1)
+            m = plane == p
+            np.testing.assert_allclose(got[m, c], spl.ev(qlon[m], qlat[m]),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_regrid_identity():
+    rng = np.random.default_rng(3)
+    lon = np.arange(0, 360, 4.0)
+    lat = np.arange(-88, 90, 4.0)
+    field = rng.normal(size=(lat.size, lon.size)).astype(np.float32)
+    out = np.asarray(interp.regrid(field, lon, lat, lon, lat))
+    np.testing.assert_allclose(out, field, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,221 @@
+"""Minimal self-contained NetCDF I/O.
+
+The deployment image has neither xarray nor python-netCDF4, so this module
+implements the small slice of NetCDF the framework needs:
+
+- reading: NetCDF4 (HDF5-based) files via h5py, classic NetCDF3 via
+  scipy.io.netcdf_file — auto-detected from the magic bytes.  Covers every
+  input the reference consumes (ERA5/CMIP6 variables, the bundled land /
+  mld / strat climatologies — all netCDF4; reference: util/input.py,
+  intensity/{geo,ocean}.py).
+- writing: classic NetCDF3 (64-bit offset) via scipy.io.netcdf_file, readable
+  by xarray/netCDF4 downstream.  Used for every intermediate and output file
+  (thermo_*.nc, env_wnd_*.nc, land/*.nc, tracks_*.nc; reference contracts in
+  SURVEY.md section 2).
+
+Values are exposed as a plain :class:`Dataset` of numpy arrays with dims and
+attrs — deliberately tiny, not an xarray clone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HDF5_MAGIC = b'\x89HDF'
+_CDF_MAGIC = b'CDF'
+
+
+@dataclasses.dataclass
+class Variable:
+    dims: Tuple[str, ...]
+    data: np.ndarray
+    attrs: Dict[str, object] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Dataset:
+    variables: Dict[str, Variable] = dataclasses.field(default_factory=dict)
+    attrs: Dict[str, object] = dataclasses.field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> Variable:
+        return self.variables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.variables
+
+    def keys(self):
+        return self.variables.keys()
+
+
+def _decode_attr(v):
+    if isinstance(v, bytes):
+        return v.decode('utf-8', 'replace')
+    if isinstance(v, np.ndarray) and v.dtype.kind == 'S' and v.size == 1:
+        return v[0].decode('utf-8', 'replace')
+    return v
+
+
+def _read_h5(path: str) -> Dataset:
+    import h5py
+
+    ds = Dataset()
+    with h5py.File(path, 'r') as f:
+        ds.attrs = {k: _decode_attr(v) for k, v in f.attrs.items()
+                    if not k.startswith('_')}
+
+        def visit(name, obj):
+            if not isinstance(obj, h5py.Dataset):
+                return
+            # netCDF4 dimension scales double as coordinate variables.
+            dims = []
+            if 'DIMENSION_LIST' in obj.attrs:
+                for i, refs in enumerate(obj.attrs['DIMENSION_LIST']):
+                    try:
+                        dims.append(os.path.basename(
+                            f[refs[0]].name))
+                    except Exception:
+                        dims.append(f'dim_{i}')
+            else:
+                base = os.path.basename(name)
+                dims = [base] if obj.ndim == 1 else [
+                    f'{base}_d{i}' for i in range(obj.ndim)]
+            attrs = {k: _decode_attr(v) for k, v in obj.attrs.items()
+                     if k not in ('DIMENSION_LIST', 'REFERENCE_LIST', 'CLASS',
+                                  'NAME', '_Netcdf4Dimid', '_Netcdf4Coordinates',
+                                  '_FillValue')}
+            data = obj[()]
+            if '_FillValue' in obj.attrs and np.issubdtype(
+                    np.asarray(data).dtype, np.floating):
+                fill = np.asarray(obj.attrs['_FillValue']).ravel()[0]
+                data = np.where(data == fill, np.nan, data)
+            # CF scale/offset decoding
+            sf = attrs.pop('scale_factor', None)
+            ao = attrs.pop('add_offset', None)
+            if sf is not None or ao is not None:
+                data = data.astype(np.float64)
+                if sf is not None:
+                    data = data * np.asarray(sf).ravel()[0]
+                if ao is not None:
+                    data = data + np.asarray(ao).ravel()[0]
+            ds.variables[os.path.basename(name)] = Variable(
+                tuple(dims), np.asarray(data), attrs)
+
+        f.visititems(visit)
+    return ds
+
+
+def _read_classic(path: str) -> Dataset:
+    from scipy.io import netcdf_file
+
+    ds = Dataset()
+    with netcdf_file(path, 'r', mmap=False) as f:
+        ds.attrs = {k: _decode_attr(v) for k, v in f._attributes.items()}
+        for name, var in f.variables.items():
+            attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
+            data = np.asarray(var[()]).copy()
+            fill = attrs.pop('_FillValue', None)
+            if fill is not None and np.issubdtype(data.dtype, np.floating):
+                data = np.where(data == fill, np.nan, data)
+            sf = attrs.pop('scale_factor', None)
+            ao = attrs.pop('add_offset', None)
+            if sf is not None or ao is not None:
+                data = data.astype(np.float64)
+                if sf is not None:
+                    data = data * sf
+                if ao is not None:
+                    data = data + ao
+            ds.variables[name] = Variable(tuple(var.dimensions), data, attrs)
+    return ds
+
+
+def read(path: str) -> Dataset:
+    """Read a NetCDF file (classic or HDF5-based) into a :class:`Dataset`."""
+    with open(path, 'rb') as f:
+        magic = f.read(4)
+    if magic.startswith(_HDF5_MAGIC):
+        return _read_h5(path)
+    if magic.startswith(_CDF_MAGIC):
+        return _read_classic(path)
+    raise ValueError(f'{path}: not a NetCDF file (magic={magic!r})')
+
+
+def write(path: str,
+          data_vars: Dict[str, Tuple[Sequence[str], np.ndarray]],
+          coords: Optional[Dict[str, np.ndarray]] = None,
+          attrs: Optional[Dict[str, object]] = None,
+          var_attrs: Optional[Dict[str, Dict[str, object]]] = None) -> None:
+    """Write a classic NetCDF3 (64-bit offset) file.
+
+    data_vars: name -> (dims, array).  Unicode string arrays ('U' kind) are
+    stored as char matrices with an extra string-length dimension, matching
+    how xarray serializes them (e.g. tc_basins in the reference's track files,
+    util/compute.py:260).
+    coords: 1-D coordinate variables keyed by their dimension name.
+    """
+    from scipy.io import netcdf_file
+
+    coords = coords or {}
+    attrs = attrs or {}
+    var_attrs = var_attrs or {}
+
+    dim_sizes: Dict[str, int] = {}
+
+    def coerce(arr: np.ndarray) -> np.ndarray:
+        # classic NetCDF3 has no 64-bit ints / 16-bit floats
+        if arr.dtype == np.int64 or arr.dtype == np.uint32 or arr.dtype == np.uint64:
+            return arr.astype(np.int32)
+        if arr.dtype == np.float16:
+            return arr.astype(np.float32)
+        if arr.dtype == np.bool_:
+            return arr.astype(np.int8)
+        return arr
+
+    def note_dims(dims, shape):
+        for d, s in zip(dims, shape):
+            if d in dim_sizes and dim_sizes[d] != int(s):
+                raise ValueError(f'dimension {d} has conflicting sizes '
+                                 f'{dim_sizes[d]} vs {s}')
+            dim_sizes[d] = int(s)
+
+    prepared: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+    for name, (dims, arr) in data_vars.items():
+        arr = coerce(np.asarray(arr))
+        dims = tuple(dims)
+        if arr.dtype.kind == 'U':
+            slen = max(1, int(arr.dtype.itemsize // 4))
+            sdim = f'string{slen}'
+            chars = arr.astype(f'S{slen}')[..., None].view('S1').reshape(
+                arr.shape + (slen,))
+            arr = chars
+            dims = dims + (sdim,)
+        if len(dims) != arr.ndim:
+            raise ValueError(f'{name}: dims {dims} do not match shape {arr.shape}')
+        note_dims(dims, arr.shape)
+        prepared[name] = (dims, arr)
+    coords = {name: coerce(np.asarray(arr)) for name, arr in coords.items()}
+    for name, arr in coords.items():
+        note_dims((name,), arr.shape)
+
+    tmp = path + '.tmp'
+    with netcdf_file(tmp, 'w', version=2) as f:
+        for k, v in attrs.items():
+            setattr(f, k, v)
+        for d, s in dim_sizes.items():
+            f.createDimension(d, s)
+        for name, arr in coords.items():
+            v = f.createVariable(name, arr.dtype, (name,))
+            v[:] = arr
+            for k, val in var_attrs.get(name, {}).items():
+                setattr(v, k, val)
+        for name, (dims, arr) in prepared.items():
+            if name in coords:
+                continue
+            v = f.createVariable(name, arr.dtype, dims)
+            v[:] = arr
+            for k, val in var_attrs.get(name, {}).items():
+                setattr(v, k, val)
+    os.replace(tmp, path)   # atomic publish: no torn files on concurrent runs
