@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,14 @@ class UniformGrid(NamedTuple):
 
     def lat_axis(self) -> np.ndarray:
         return self.lat0 + self.dlat * np.arange(self.nlat)
+
+
+# Grid metadata is static structure (shapes depend on it), never traced data:
+# a UniformGrid inside any pytree argument stays concrete under jit.
+jax.tree_util.register_pytree_node(
+    UniformGrid,
+    lambda g: ((), tuple(g)),
+    lambda aux, _: UniformGrid(*aux))
 
 
 def _cell_and_weight(x, x0, dx, n):
