@@ -1,0 +1,164 @@
+"""Coupled FAST intensity + intensity-dependent beta-advection RHS.
+
+Reference equivalents: intensity/coupled_fast.py (Coupled_FAST: the FAST ODEs
+of Emanuel 2017 with ocean feedback and ventilation) and track/bam_track.py
+(BetaAdvectionTrack: steering-flow sampling and beta drift).  The reference
+evaluates ~20 scalar spline lookups plus one LAPACK Cholesky per RHS call per
+storm; here one RHS call advances the whole seed batch with three fused
+gathers (wind stats, environment, land/bathy) and an unrolled elementwise
+Cholesky.
+
+State layout: y = (lon, lat, v, m), batched [N].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from tropical_cyclone_risk_tpu import constants
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.models import fields as F
+from tropical_cyclone_risk_tpu.ops import chol, interp
+from tropical_cyclone_risk_tpu.ops.fourier import FourierSeries
+
+# FAST dimensionless constants (intensity/coupled_fast.py:25-27)
+EPSILON = 0.33
+KAPPA = 0.1
+BETA = 1.0 - EPSILON - KAPPA
+
+MS_TO_KTS = 1.94384
+
+
+class SeedParams(NamedTuple):
+    """Per-seed static-through-time parameters of one integration batch."""
+    plane: jnp.ndarray    # [N] int32: (year, month) plane in the FieldPack
+    h_bl: jnp.ndarray     # [N] boundary-layer depth (basin-dependent)
+    fourier: FourierSeries  # A/B: [N, W, n_fourier]
+
+
+class State(NamedTuple):
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    v: jnp.ndarray
+    m: jnp.ndarray
+
+
+def steering_coefs(cfg: Namelist, v):
+    """Intensity-dependent steering weights, clipped (coupled_fast.py:183-192).
+    Returns [N, L]."""
+    if cfg.coupled_track:
+        y_a = jnp.asarray(cfg.y_alpha, v.dtype)
+        m_a = jnp.asarray(cfg.m_alpha, v.dtype)
+        a = (v[:, None] * MS_TO_KTS) * m_a + y_a
+        a = jnp.clip(a, jnp.asarray(cfg.alpha_min, v.dtype),
+                     jnp.asarray(cfg.alpha_max, v.dtype))
+        return jnp.where(jnp.isnan(a), y_a, a)
+    coefs = jnp.asarray(cfg.steering_coefs, v.dtype)
+    return jnp.broadcast_to(coefs, v.shape + coefs.shape)
+
+
+def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,
+                     fourier: FourierSeries, t):
+    """Environmental winds at (lon, lat, t): monthly mean + Cholesky-colored
+    Fourier synthetic flow (track/bam_track.py:116-128).  Returns [N, W]."""
+    W = cfg.n_wind_levels
+    stats = interp.bilinear(pack.wind, pack.grid, lon, lat, plane)
+    mean = stats[:, :W]
+    cov = chol.lower_tri_to_full(stats[:, W:], W)
+    L, ok = chol.cholesky_unrolled(cov)
+    f = fourier.evaluate(t)                       # [N, W]
+    wnds = mean + jnp.einsum('nij,nj->ni', L, f)
+    # non-PD covariance -> zero winds (reference zero-fallback,
+    # track/bam_track.py:123-126)
+    return jnp.where(ok[:, None], wnds, 0.0)
+
+
+def shear_magnitude(cfg: Namelist, wnds):
+    """250-850 hPa shear magnitude from the sampled wind vector
+    (coupled_fast.py:115-122).  Channel order: (u250, v250, u850, v850, ...)."""
+    u_shr = wnds[:, 0] - wnds[:, 2]
+    v_shr = wnds[:, 1] - wnds[:, 3]
+    return jnp.sqrt(u_shr ** 2 + v_shr ** 2)
+
+
+def _is_land(land_val):
+    # reference: interpolated land fraction == 1 exactly (coupled_fast.py:38);
+    # float32 gather needs a tolerance at the last ulp
+    return land_val >= 1.0 - 1e-5
+
+
+def ocean_alpha(cfg: Namelist, env, land_val, bathy_val, u_T, v):
+    """Ocean feedback parameter alpha (coupled_fast.py:65-94).
+
+    alpha = 1 over land / shallow / unstratified water; else
+    1 - 0.87 exp(-z) with z = 0.01 strat^-0.4 h_m u_T v_pot / v.
+    """
+    h_m = env[:, F.MLD]
+    t_strat = env[:, F.STRAT]
+    v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
+    no_mixing = (bathy_val >= 0) | (-h_m <= bathy_val) | (t_strat == 0)
+    z = 0.01 * t_strat ** -0.4 * h_m * u_T * v_pot / v
+    fac = jnp.exp(-jnp.clip(z, 0.0, 100.0))
+    return jnp.where(no_mixing, 1.0, 1.0 - 0.87 * fac), v_pot
+
+
+def rhs(pack: F.FieldPack, cfg: Namelist, t, y: State, params: SeedParams
+        ) -> Tuple[State, jnp.ndarray]:
+    """Full coupled tendency (coupled_fast.py:196-207) for the batch.
+
+    Returns (dy/dt as a State of tendencies, sampled winds [N, W])."""
+    lon, lat, v, m = y
+
+    wnds = sample_env_winds(pack, cfg, lon, lat, params.plane,
+                            params.fourier, t)
+    # hard stop poleward of 80 deg (track/bam_track.py:131-135)
+    polar = jnp.abs(lat) >= 80.0
+    wnds = jnp.where(polar[:, None], 0.0, wnds)
+
+    coefs = steering_coefs(cfg, v)
+    w_lat = jnp.cos(jnp.deg2rad(lat))
+    u_steer = jnp.einsum('nl,nl->n', wnds[:, 0::2], coefs)
+    v_steer = jnp.einsum('nl,nl->n', wnds[:, 1::2], coefs)
+    u_bam = jnp.where(polar, 0.0, u_steer + cfg.u_beta * w_lat)
+    v_bam = jnp.where(polar, 0.0,
+                      v_steer + jnp.sign(lat) * cfg.v_beta * w_lat)
+
+    env = interp.bilinear(pack.env, pack.grid, lon, lat, params.plane)
+    land_val = interp.bilinear_scalar(pack.land, pack.land_grid, lon, lat)
+    bathy_val = interp.bilinear_scalar(pack.bathy, pack.bathy_grid, lon, lat)
+
+    u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
+    alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v)
+    gamma = EPSILON + alpha * KAPPA
+
+    ck_2h = 0.5 * cfg.Ck / params.h_bl
+    m3 = m ** 3
+    dvdt = ck_2h * (alpha * BETA * v_pot ** 2 * m3 - (1 - gamma * m3) * v ** 2)
+    dvdt = jnp.nan_to_num(dvdt)          # coupled_fast.py:150
+
+    S = shear_magnitude(cfg, wnds)
+    venti = S * env[:, F.CHI]
+    dmdt = ck_2h * ((1 - m) * v - venti * m)
+
+    rad = 180.0 / jnp.pi / constants.earth_R
+    dlon = u_bam * rad / w_lat
+    dlat = v_bam * rad
+    return State(dlon, dlat, dvdt, dmdt), wnds
+
+
+def ventilation_index_reject(pack: F.FieldPack, cfg: Namelist,
+                             y0: State, params: SeedParams):
+    """Genesis gate: reject when S * chi / v_pot >= 1 at t=0 with v_pot > 0
+    (coupled_fast.py:237-244).  Returns a boolean keep-mask [N]."""
+    # note: the reference samples winds directly (no polar zeroing) here
+    wnds = sample_env_winds(pack, cfg, y0.lon, y0.lat, params.plane,
+                            params.fourier, jnp.asarray(0.0))
+    S = shear_magnitude(cfg, wnds)
+    env = interp.bilinear(pack.env, pack.grid, y0.lon, y0.lat, params.plane)
+    land_val = interp.bilinear_scalar(pack.land, pack.land_grid,
+                                      y0.lon, y0.lat)
+    v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
+    vent = S * env[:, F.CHI] / v_pot
+    return ~((v_pot > 0) & (vent >= 1.0))

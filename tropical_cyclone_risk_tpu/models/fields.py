@@ -1,0 +1,150 @@
+"""HBM-resident environment field packs.
+
+The reference builds dozens of scipy spline objects per month per basin
+(track/bam_track.py:76-91; intensity/coupled_fast.py:217-225; util/
+compute.py:87-121).  Here all monthly environment data lives in a few packed
+channel-last arrays so the integration scan samples everything a step needs
+with a handful of fused gathers:
+
+  wind [P, nlat, nlon, W + W(W+1)/2] — steering-wind means + lower-tri cov
+  env  [P, nlat, nlon, 5]            — chi, vpot, mld, strat, rh_mid
+  land / bathy                        — high-res static fields, own grids
+  basin_masks [nlat_m, nlon_m, B]    — per-basin ocean masks + run-basin mask
+
+P indexes (year, month) planes: plane = year_idx * 12 + (month - 1).  The
+reference freezes fields at the seed month for the whole track
+(track/bam_track.py:88-91, util/compute.py:107-121), so no time interpolation
+happens inside the step loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.ops.interp import UniformGrid
+
+# env channel indices
+CHI, VPOT, MLD, STRAT, RH = range(5)
+N_ENV = 5
+
+
+class FieldPack(NamedTuple):
+    grid: UniformGrid          # atmospheric grid (env + wind stats)
+    wind: jnp.ndarray          # [P, nlat, nlon, W + W(W+1)/2]
+    env: jnp.ndarray           # [P, nlat, nlon, N_ENV]
+    land_grid: UniformGrid
+    land: jnp.ndarray          # [nlat_l, nlon_l] (1.0 = land)
+    bathy_grid: UniformGrid
+    bathy: jnp.ndarray         # [nlat_b, nlon_b] (m; >= 0 over land)
+    mask_grid: UniformGrid
+    basin_masks: jnp.ndarray   # [nlat_m, nlon_m, B] per-basin genesis masks
+    run_mask: jnp.ndarray      # [nlat_m, nlon_m] mask of the simulated basin
+
+    @property
+    def n_planes(self) -> int:
+        return self.wind.shape[0]
+
+    @property
+    def n_wind(self) -> int:
+        """Number of wind components W (4 for two steering levels)."""
+        w = self.wind.shape[-1]
+        # solve W + W(W+1)/2 = w
+        for cand in (2, 4, 6, 8):
+            if cand + cand * (cand + 1) // 2 == w:
+                return cand
+        raise ValueError(f'bad wind channel count {w}')
+
+
+def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:
+    """The chi fudge applied when loading monthly fields
+    (util/compute.py:112-115): NaN -> 5, then
+    clip(exp(log(chi + 1e-3) + log_chi_fac) + chi_fac, 1e-5, 5)."""
+    chi = np.where(np.isnan(chi_raw), 5.0, chi_raw)
+    chi = np.exp(np.log(chi + 1e-3) + cfg.log_chi_fac) + cfg.chi_fac
+    return np.clip(chi, 1e-5, 5.0)
+
+
+def synthetic_pack(cfg: Namelist, n_planes: int = 12, nlat: int = 181,
+                   nlon: int = 360, seed: int = 0) -> FieldPack:
+    """A physically plausible synthetic global environment for tests and
+    benchmarks: zonal jets with seasonal modulation, warm-pool PI, idealized
+    land band.  Shapes mirror a 1-degree ERA5 preprocessing output."""
+    rng = np.random.default_rng(seed)
+    W = cfg.n_wind_levels
+    lat = np.linspace(-90.0, 90.0, nlat)
+    lon = np.arange(0.0, 360.0, 360.0 / nlon)
+    grid = UniformGrid.from_axes(lon, lat)
+    LA = lat[:, None] + 0 * lon[None, :]
+    LO = lon[None, :] + 0 * lat[:, None]
+
+    months = np.arange(n_planes) % 12
+    seasonal = np.cos(2 * np.pi * (months[:, None, None] - 7.5) / 12.0)
+
+    # wind means: easterly trades / westerly jets, weak meridional flow
+    u250 = -8.0 + 20.0 * np.sin(np.deg2rad(LA)) ** 2 + 4.0 * seasonal
+    v250 = 2.0 * np.sin(np.deg2rad(2 * LO))[None] + 0 * seasonal
+    u850 = -5.0 + 6.0 * np.sin(np.deg2rad(LA)) ** 2 + 2.0 * seasonal
+    v850 = 1.0 * np.cos(np.deg2rad(LO))[None] + 0 * seasonal
+    means = [u250, v250, u850, v850][:W]
+
+    # covariance: diag 6-12 m2/s2 with mild cross-correlation
+    n_tri = W * (W + 1) // 2
+    tri = []
+    base_var = 8.0 + 4.0 * np.cos(np.deg2rad(LA))[None] + 0 * seasonal
+    k = 0
+    for i in range(W):
+        for j in range(i + 1):
+            if i == j:
+                tri.append(base_var * (1.0 + 0.1 * i))
+            else:
+                tri.append(0.2 * base_var * np.cos(np.deg2rad(LO))[None])
+            k += 1
+    wind = np.stack(means + tri, axis=-1).astype(np.float32)
+    assert wind.shape[-1] == W + n_tri
+
+    # land: one meridional continent band + polar caps
+    land = ((np.abs(LA) > 66) | ((LO > 270) & (LO < 310) & (LA > -60))
+            ).astype(np.float32)
+    land_pack = land
+
+    # vpot: warm tropical oceans support ~70 m/s, taper poleward; 0 over land
+    vpot = 72.0 * np.exp(-((LA / 28.0) ** 4))[None] * \
+        (1.0 + 0.15 * seasonal) * (1 - land)[None]
+    chi_raw = 0.4 + 0.6 * np.abs(np.sin(np.deg2rad(LA)))[None] * \
+        (1.0 + 0.2 * seasonal)
+    chi = prepare_chi(np.where(land[None] > 0, np.nan, chi_raw), cfg)
+    mld = (30.0 + 40.0 * np.cos(np.deg2rad(LA)) ** 2)[None] * \
+        (1.0 + 0.1 * seasonal) * (1 - land)[None]
+    strat = (4.0 + 2.0 * np.cos(np.deg2rad(LA)))[None] * \
+        (1 + 0 * seasonal) * (1 - land)[None]
+    rh = np.clip(0.45 + 0.25 * np.cos(np.deg2rad(LA))[None] *
+                 (1 + 0.1 * seasonal) + 0.05 * rng.standard_normal(
+                     (n_planes, nlat, nlon)), 0.0, 1.0)
+    env = np.stack([chi, vpot, mld, strat, rh], axis=-1).astype(np.float32)
+
+    bathy = np.where(land > 0, 100.0, -4500.0).astype(np.float32)
+
+    # basin masks on the same grid for simplicity (production uses 0.25 deg)
+    basin_ids = cfg.basin_ids_sorted()
+    from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+    masks = []
+    for b in basin_ids:
+        lo0, la0, lo1, la1 = basins_mod.basin_bounds(cfg, b)
+        m = ((LO >= lo0) & (LO <= lo1) & (LA >= la0) & (LA <= la1) &
+             (land < 0.5)).astype(np.float32)
+        masks.append(m)
+    basin_masks = np.stack(masks, axis=-1)
+    run_mask = ((np.abs(LA) <= 50) & (land < 0.5)).astype(np.float32)  # 'GL'
+
+    return FieldPack(
+        grid=grid,
+        wind=jnp.asarray(wind),
+        env=jnp.asarray(env),
+        land_grid=grid, land=jnp.asarray(land_pack),
+        bathy_grid=grid, bathy=jnp.asarray(bathy),
+        mask_grid=grid, basin_masks=jnp.asarray(basin_masks),
+        run_mask=jnp.asarray(run_mask))

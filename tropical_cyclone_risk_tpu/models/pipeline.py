@@ -1,0 +1,156 @@
+"""Downscaling pipeline: seeding -> integration -> filtering -> compaction.
+
+Reference equivalent: ``run_tracks`` / ``run_downscaling``
+(util/compute.py:64-270).  The reference integrates one seed at a time inside
+a rejection loop, one process per year; here each device launch proposes and
+integrates a whole batch of seeds, survivors are compacted on device (only
+the few surviving tracks are ever pulled to the host), and the host loop
+repeats until the per-year track quota fills.
+
+Stopping-rule parity: the reference counts seeds only until the final quota
+track survives.  Every batch slot carries a global sequence number, so after
+the quota fills the seed counts are truncated at the exact slot of the final
+survivor — statistically identical to the reference's interleaved loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.models import diagnostics, fast, seeding, simulator
+from tropical_cyclone_risk_tpu.models.fields import FieldPack
+from tropical_cyclone_risk_tpu.ops import fourier
+
+
+@dataclasses.dataclass
+class YearTracks:
+    """Survivor tracks of one simulated year (reference run_tracks output,
+    util/compute.py:210)."""
+    lon: np.ndarray          # [n_tracks, n_steps]
+    lat: np.ndarray
+    v: np.ndarray
+    m: np.ndarray
+    vmax: np.ndarray
+    wnds: np.ndarray         # [n_tracks, n_steps, W]
+    month: np.ndarray        # [n_tracks]
+    basin_idx: np.ndarray    # [n_tracks] index into basin_ids_sorted()
+    n_seeds: np.ndarray      # [n_basins, 12]
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
+def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
+                    n: int, k_max: int, plane_offset):
+    """One fused device launch: propose n seeds, integrate, filter, compact.
+
+    Returns per-slot metadata plus the first k_max surviving tracks
+    (slot-ordered).  This function is the throughput benchmark unit.
+    """
+    k_seed, k_fourier = jax.random.split(key)
+    prop = seeding.propose_seeds(k_seed, pack, cfg, basin_id, n, plane_offset)
+    fs = fourier.draw_fourier(k_fourier, (n, cfg.n_wind_levels),
+                              cfg.T_fourier_s)
+    params = fast.SeedParams(plane=prop.plane, h_bl=prop.h_bl, fourier=fs)
+    out = simulator.integrate(pack, cfg, basin_id,
+                              seeding.initial_state(prop), params,
+                              prop.integrate)
+    is_tc, _ = simulator.tc_filters(cfg, out)
+    vmax = diagnostics.axi_to_max_wind(out.lon, out.lat,
+                                       float(cfg.output_interval_s),
+                                       out.v, out.wnds)
+    keep = is_tc & diagnostics.vmax_filter(cfg, vmax)
+
+    # device-side compaction: survivors first, in slot order
+    slot = jnp.arange(n)
+    order = jnp.argsort(jnp.where(keep, slot, slot + n))[:k_max]
+    gather = lambda a: jnp.take(a, order, axis=0)
+    tracks = {
+        'lon': gather(out.lon), 'lat': gather(out.lat),
+        'v': gather(out.v), 'm': gather(out.m),
+        'vmax': gather(vmax), 'wnds': gather(out.wnds),
+        'month': gather(prop.month), 'basin_idx': gather(prop.basin_idx),
+        'valid': gather(keep),
+    }
+    meta = {'keep': keep, 'counted': prop.counted,
+            'basin_idx': prop.basin_idx, 'month': prop.month}
+    return tracks, meta
+
+
+def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
+                    basin_id: str, year_idx: int,
+                    n_tracks: Optional[int] = None,
+                    max_batches: int = 200) -> YearTracks:
+    """Generate the year's track quota (reference run_tracks,
+    util/compute.py:64-210)."""
+    n_tracks = n_tracks or cfg.tracks_per_year
+    n_basins = len(cfg.basin_ids_sorted())
+    N = cfg.seed_batch
+    k_max = min(n_tracks, N)
+
+    rows: List[dict] = []
+    meta_counted: List[np.ndarray] = []
+    meta_basin: List[np.ndarray] = []
+    meta_month: List[np.ndarray] = []
+    cutoff = None          # global slot index of the final quota survivor
+    got = 0
+    for b_i in range(max_batches):
+        bkey = jax.random.fold_in(key, b_i)
+        tracks, meta = _simulate_batch(bkey, pack, cfg, basin_id, N, k_max,
+                                       jnp.int32(year_idx * 12))
+        keep = np.asarray(meta['keep'])
+        meta_counted.append(np.asarray(meta['counted']))
+        meta_basin.append(np.asarray(meta['basin_idx']))
+        meta_month.append(np.asarray(meta['month']))
+
+        n_new = int(keep.sum())
+        take = min(n_new, n_tracks - got)
+        if take > 0:
+            host = {k: np.asarray(v[:take]) for k, v in tracks.items()}
+            rows.append(host)
+            got += take
+        if got >= n_tracks:
+            # slot (within this batch) of the final survivor
+            surv_slots = np.nonzero(keep)[0]
+            cutoff = b_i * N + int(surv_slots[take - 1])
+            break
+    else:
+        raise RuntimeError(
+            f'track quota not reached after {max_batches} batches '
+            f'({got}/{n_tracks}); environment may not support genesis')
+
+    counted = np.concatenate(meta_counted)
+    basin_idx_meta = np.concatenate(meta_basin)
+    month_meta = np.concatenate(meta_month)
+    n_seeds = seeding.count_seeds_per_month(
+        basin_idx_meta, month_meta, counted, n_basins, upto=cutoff)
+
+    cat = lambda k: np.concatenate([r[k] for r in rows], axis=0)[:n_tracks]
+    return YearTracks(lon=cat('lon'), lat=cat('lat'), v=cat('v'), m=cat('m'),
+                      vmax=cat('vmax'), wnds=cat('wnds'), month=cat('month'),
+                      basin_idx=cat('basin_idx'), n_seeds=n_seeds)
+
+
+def concat_years(years: List[YearTracks], cfg: Namelist):
+    """Assemble the multi-year output arrays (reference run_downscaling
+    concatenation, util/compute.py:233-247)."""
+    out = {
+        'lon': np.concatenate([y.lon for y in years]),
+        'lat': np.concatenate([y.lat for y in years]),
+        'v': np.concatenate([y.v for y in years]),
+        'm': np.concatenate([y.m for y in years]),
+        'vmax': np.concatenate([y.vmax for y in years]),
+        'wnds': np.concatenate([y.wnds for y in years]),
+        'month': np.concatenate([y.month for y in years]),
+        'basin_idx': np.concatenate([y.basin_idx for y in years]),
+        'n_seeds': np.stack([y.n_seeds for y in years]),
+        'year': np.concatenate([
+            np.full(y.lon.shape[0], cfg.start_year + i)
+            for i, y in enumerate(years)]),
+    }
+    return out

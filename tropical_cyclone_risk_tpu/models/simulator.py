@@ -1,0 +1,128 @@
+"""Batched fixed-step track integration under lax.scan.
+
+Reference equivalent: scipy.solve_ivp RK45 with terminal events and hourly
+t_eval, one call per storm (intensity/coupled_fast.py:264-267).  The dynamics
+are smooth at hourly scale (the reference allows max_step=86400 s), so a
+fixed-step RK4 at the output interval reproduces solve_ivp trajectories to
+float32 accuracy (validated in tests/test_simulator.py) while letting XLA
+compile the entire ensemble into one scan:
+
+  state [N, 4]  x  361 steps, alive-mask termination instead of events.
+
+Termination (coupled_fast.py:246-256): leaving the basin (1 deg margin),
+|lat| <= 2, or v <= 4 m/s.  Dead storms freeze in place and their outputs are
+NaN-masked, matching the reference's NaN-padded fixed-width output buffers
+(util/compute.py:126-133).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.models import fast
+from tropical_cyclone_risk_tpu.models.fields import FieldPack
+from tropical_cyclone_risk_tpu.utils import basins
+
+
+class TrackOutput(NamedTuple):
+    """Padded track buffers, [N, n_steps] (channel-last winds [N, n_steps, W]).
+    NaN after storm death, mirroring the reference output contract."""
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    v: jnp.ndarray
+    m: jnp.ndarray
+    wnds: jnp.ndarray
+    alive: jnp.ndarray       # [N, n_steps] bool: sample validity
+    last_step: jnp.ndarray   # [N] index of last valid sample
+
+
+def _events_alive(cfg: Namelist, bounds, y: fast.State):
+    """Continuation condition (coupled_fast.py:246-256)."""
+    in_b = basins.in_basin(y.lon, y.lat, bounds, 1.0)
+    return in_b & (jnp.abs(y.lat) > 2.0) & (y.v > 4.0)
+
+
+def _rk4_step(rhs_fn, t, y: fast.State, dt):
+    k1, wnds = rhs_fn(t, y)
+    add = lambda a, ka, h: fast.State(*(x + h * dx for x, dx in zip(a, ka)))
+    k2, _ = rhs_fn(t + dt / 2, add(y, k1, dt / 2))
+    k3, _ = rhs_fn(t + dt / 2, add(y, k2, dt / 2))
+    k4, _ = rhs_fn(t + dt, add(y, k3, dt))
+    y1 = fast.State(*(x + dt / 6 * (a + 2 * b + 2 * c + d)
+                      for x, a, b, c, d in zip(y, k1, k2, k3, k4)))
+    return y1, wnds
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id'))
+def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
+              y0: fast.State, params: fast.SeedParams,
+              integrate_mask: jnp.ndarray) -> TrackOutput:
+    """Integrate the batch for cfg.n_steps_output samples.
+
+    integrate_mask: [N] seeds that passed all genesis gates; others produce
+    all-NaN tracks at zero extra cost (lockstep SIMD).
+    """
+    bounds = basins.basin_bounds(cfg, basin_id)
+    n_steps = cfg.n_steps_output
+    dt_out = float(cfg.output_interval_s)
+    sub = max(1, int(cfg.rk_substeps))
+    dt = dt_out / sub
+
+    rhs_fn = lambda t, y: fast.rhs(pack, cfg, t, y, params)
+
+    # genesis gates evaluated with the track's own Fourier draws
+    keep = fast.ventilation_index_reject(pack, cfg, y0, params)
+    alive0 = integrate_mask & keep
+
+    def step(carry, k):
+        y, alive = carry
+        t = k.astype(jnp.float32) * dt_out
+        # record sample k, then advance to k+1
+        y1 = y
+        wnds0 = None
+        for s in range(sub):
+            y_next, wnds = _rk4_step(rhs_fn, t + s * dt, y1, dt)
+            if s == 0:
+                wnds0 = wnds
+            y1 = fast.State(*(jnp.where(alive, a, b)
+                              for a, b in zip(y_next, y1)))
+        alive1 = alive & _events_alive(cfg, bounds, y1)
+        out = (y.lon, y.lat, y.v, y.m, wnds0, alive)
+        return (y1, alive1), out
+
+    (_, _), (lon, lat, v, m, wnds, alive) = jax.lax.scan(
+        step, (y0, alive0), jnp.arange(n_steps))
+
+    # [T, N] -> [N, T]
+    tr = lambda x: jnp.swapaxes(x, 0, 1)
+    lon, lat, v, m, alive = map(tr, (lon, lat, v, m, alive))
+    wnds = jnp.swapaxes(wnds, 0, 1)
+
+    nan = jnp.float32(jnp.nan)
+    mask = lambda x: jnp.where(alive, x, nan)
+    last_step = jnp.maximum(jnp.sum(alive.astype(jnp.int32), axis=1) - 1, 0)
+    return TrackOutput(mask(lon), mask(lat), mask(v), mask(m),
+                       jnp.where(alive[..., None], wnds, nan),
+                       alive, last_step)
+
+
+def tc_filters(cfg: Namelist, out: TrackOutput) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Post-integration TC identification (util/compute.py:185-189).
+
+    is_tc: reached seed_v_threshold at some point AND v at 2 days (or at
+    death, whichever is earlier — np.interp clamps to the last sample) >=
+    the 2-day threshold.  Returns (is_tc [N], v_2d [N]).
+    """
+    steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
+    idx_2d = jnp.minimum(out.last_step, steps_2d)
+    v_2d = jnp.take_along_axis(jnp.nan_to_num(out.v), idx_2d[:, None],
+                               axis=1)[:, 0]
+    reached = jnp.any(jnp.nan_to_num(out.v) >= cfg.seed_v_threshold_ms,
+                      axis=1)
+    is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) & out.alive[:, 0]
+    return is_tc, v_2d

@@ -1,0 +1,111 @@
+"""Run orchestration and the track-output contract.
+
+Reference equivalents: run.py (CLI), util/compute.py:40-58 (file naming and
+ensemble suffixing), util/compute.py:216-270 (run_downscaling and the output
+NetCDF schema).  The output schema is reproduced field for field so the
+reference's analysis notebook reads our files unmodified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.io import netcdf
+from tropical_cyclone_risk_tpu.models import pipeline
+from tropical_cyclone_risk_tpu.models.fields import FieldPack
+from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+
+
+def get_fn_tracks(cfg: Namelist, basin_id: str) -> str:
+    """Track filename contract (util/compute.py:40-46)."""
+    return ('%s/%s/tracks_%s_%s_%d%02d_%d%02d.nc' %
+            (cfg.output_directory, cfg.exp_name, basin_id, cfg.exp_prefix,
+             cfg.start_year, cfg.start_month, cfg.end_year, cfg.end_month))
+
+
+def fn_tracks_duplicates(fn_trk: str) -> str:
+    """Ensemble-member suffixing _eN (util/compute.py:52-58)."""
+    f_int = 0
+    fn_out = fn_trk
+    while os.path.exists(fn_out):
+        fn_out = fn_trk[:-3] + '_e%d.nc' % f_int
+        f_int += 1
+    return fn_out
+
+
+def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
+    """Write the track dataset (schema: util/compute.py:250-264)."""
+    basin_ids = list(cfg.basin_ids_sorted())
+    n_steps = cfg.n_steps_output
+    ts_output = np.linspace(0, cfg.total_track_time_s, n_steps)
+    basin_strs = np.array([basin_ids[i] for i in out['basin_idx']],
+                          dtype='U2')
+    wnds = out['wnds']
+    data_vars = {
+        'lon_trks': (('n_trk', 'time'), out['lon'].astype(np.float32)),
+        'lat_trks': (('n_trk', 'time'), out['lat'].astype(np.float32)),
+        'u250_trks': (('n_trk', 'time'), wnds[:, :, 0].astype(np.float32)),
+        'v250_trks': (('n_trk', 'time'), wnds[:, :, 1].astype(np.float32)),
+        'u850_trks': (('n_trk', 'time'), wnds[:, :, 2].astype(np.float32)),
+        'v850_trks': (('n_trk', 'time'), wnds[:, :, 3].astype(np.float32)),
+        'v_trks': (('n_trk', 'time'), out['v'].astype(np.float32)),
+        'm_trks': (('n_trk', 'time'), out['m'].astype(np.float32)),
+        'vmax_trks': (('n_trk', 'time'), out['vmax'].astype(np.float32)),
+        'tc_month': (('n_trk',), out['month'].astype(np.float64)),
+        'tc_basins': (('n_trk',), basin_strs),
+        'tc_years': (('n_trk',), out['year'].astype(np.int32)),
+        'seeds_per_month': (('year', 'basin', 'month'),
+                            out['n_seeds'].astype(np.float64)),
+    }
+    coords = {
+        'n_trk': np.arange(out['lon'].shape[0], dtype=np.int32),
+        'time': ts_output,
+        'year': np.unique(out['year']).astype(np.int32),
+        'basin': np.array(basin_ids, dtype='U2'),
+        'month': np.arange(1, 13, dtype=np.int32),
+    }
+    # 'basin' is a coord of strings -> store as data var (char matrix) since
+    # classic NetCDF coords must be numeric; xarray still reads it back.
+    data_vars['basin'] = (('basin',), coords.pop('basin'))
+    netcdf.write(path, data_vars, coords=coords,
+                 attrs={'source': 'tropical_cyclone_risk_tpu'},
+                 var_attrs={'time': {'units': 'seconds since genesis'}})
+
+
+def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
+                    key: Optional[jax.Array] = None,
+                    n_years: Optional[int] = None) -> str:
+    """Simulate every configured year and write the tracks file
+    (util/compute.py:216-270).  Returns the written path."""
+    basin_id = basins_mod.validate_basin_id(cfg, basin_id)
+    if key is None:
+        key = jax.random.key(int(time.time_ns() % (2 ** 31)))
+    years = cfg.years()[:n_years] if n_years else cfg.years()
+    t0 = time.time()
+    results = []
+    for yi, year in enumerate(years):
+        ykey = jax.random.fold_in(key, year)
+        results.append(pipeline.run_tracks_year(ykey, pack, cfg, basin_id, yi))
+        print(f'[tc-risk-tpu] year {year}: {results[-1].lon.shape[0]} tracks, '
+              f'{int(results[-1].n_seeds.sum())} seeds, '
+              f'{time.time() - t0:.1f}s elapsed')
+    out = pipeline.concat_years(results, cfg)
+
+    os.makedirs('%s/%s' % (cfg.output_directory, cfg.exp_name), exist_ok=True)
+    fn = fn_tracks_duplicates(get_fn_tracks(cfg, basin_id))
+    write_tracks_nc(fn, out, cfg)
+    # provenance snapshot (reference copies namelist.py, run.py:12)
+    snap = fn[:-3] + '.config.json'
+    with open(snap, 'w') as f:
+        json.dump({k: v for k, v in cfg.__dict__.items()
+                   if isinstance(v, (int, float, str, bool, tuple, list))},
+                  f, indent=1, default=str)
+    print('Saved %s (%.1f s)' % (fn, time.time() - t0))
+    return fn
