@@ -2,12 +2,15 @@
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on host-platform virtual devices instead (SURVEY.md section 4e).
-Must set flags before jax initializes, hence module import order matters.
+
+This image's sitecustomize force-registers a remote-TPU PJRT plugin and
+overrides the JAX_PLATFORMS env var, so env vars alone do NOT select the CPU
+backend — the jax.config update below is the authoritative switch (it takes
+precedence over the hijacked env as long as it runs before the first jax op).
 """
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -15,4 +18,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_threefry_partitionable', True)
+
+assert len(jax.devices()) == 8, (
+    'expected 8 virtual CPU devices; backend hijack not defeated: '
+    f'{jax.devices()}')

@@ -1,0 +1,207 @@
+"""End-to-end preprocessing tests: synthetic raw NetCDF inputs -> wind stats
+-> thermo -> field pack -> downscaling, exercising the same path as the
+reference's run.py (land masks + compute_downscaling_inputs +
+run_downscaling)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tropical_cyclone_risk_tpu import runtime
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.io import input as tcin
+from tropical_cyclone_risk_tpu.io import netcdf
+from tropical_cyclone_risk_tpu.models import pack_builder
+from tropical_cyclone_risk_tpu.preprocess import (land_masks, thermo_driver,
+                                                  winds)
+
+NLON, NLAT = 36, 19
+LON = np.arange(0.0, 360.0, 10.0)
+LAT = np.linspace(-90.0, 90.0, NLAT)
+LEVELS_HPA = np.array([100.0, 250.0, 400.0, 600.0, 850.0, 1000.0])  # ascending
+
+
+def _land_2d():
+    LO, LA = np.meshgrid(LON, LAT)
+    return ((np.abs(LA) > 75) | ((LO > 280) & (LO < 310) & (LA > -55))
+            ).astype(np.float32)
+
+
+def _write_inputs(base, year=2016):
+    """Synthetic ERA5-style raw files: monthly sst/sp/t/q, daily u/v."""
+    os.makedirs(base, exist_ok=True)
+    rng = np.random.default_rng(0)
+    land = _land_2d()
+    LA = LAT[:, None] + 0 * LON[None, :]
+
+    # --- monthly fields, 12 months, time units hours since 1900 ---
+    t_month = np.array([np.datetime64(f'{year}-{m:02d}-01', 's')
+                        for m in range(1, 13)])
+    t_num = (t_month - np.datetime64('1900-01-01', 's')) \
+        / np.timedelta64(1, 'h')
+    tattrs = {'units': 'hours since 1900-01-01 00:00:00.0'}
+
+    seasonal = np.cos(2 * np.pi * (np.arange(12)[:, None, None] - 7.5) / 12)
+    sst = 302.0 - 28.0 * (LA / 90.0) ** 2 + 1.5 * seasonal  # K, warm tropics
+    sst = np.where(land[None] > 0, np.nan, sst)
+    netcdf.write(f'{base}/era5_sst_{year}.nc',
+                 {'sst': (('time', 'latitude', 'longitude'),
+                          sst.astype(np.float32))},
+                 coords={'time': t_num, 'latitude': LAT, 'longitude': LON},
+                 var_attrs={'time': tattrs, 'sst': {'units': 'K'}})
+    sp = np.full((12, NLAT, NLON), 101000.0, np.float32)
+    netcdf.write(f'{base}/era5_sp_{year}.nc',
+                 {'sp': (('time', 'latitude', 'longitude'), sp)},
+                 coords={'time': t_num, 'latitude': LAT, 'longitude': LON},
+                 var_attrs={'time': tattrs})
+
+    # temperature: moist-adiabat-ish profile, q: scale-height decay
+    p = LEVELS_HPA * 100.0
+    Tsfc = np.broadcast_to(np.nan_to_num(sst, nan=290.0) - 1.0,
+                           (12, NLAT, NLON))
+    T = np.zeros((12, len(p), NLAT, NLON), np.float32)
+    q = np.zeros_like(T)
+    for li, pl in enumerate(p):
+        T[:, li] = Tsfc * (pl / 101000.0) ** 0.19
+        q[:, li] = 0.016 * np.exp(-(101000.0 - pl) / 25000.0) * \
+            np.clip((Tsfc - 260.0) / 40.0, 0.05, 1.2)
+    for nm, arr in (('t', T), ('q', q)):
+        netcdf.write(f'{base}/era5_{nm}_{year}.nc',
+                     {nm: (('time', 'level', 'latitude', 'longitude'), arr)},
+                     coords={'time': t_num, 'level': LEVELS_HPA,
+                             'latitude': LAT, 'longitude': LON},
+                     var_attrs={'time': tattrs,
+                                'level': {'units': 'millibars'}})
+
+    # --- daily winds at 250/850, 2 samples/day over Jan+Feb ---
+    n_days = 59
+    tt = np.arange(n_days * 2) * 12.0  # hours
+    t0 = (np.datetime64(f'{year}-01-01', 's')
+          - np.datetime64('1900-01-01', 's')) / np.timedelta64(1, 'h')
+    u = rng.normal(-5.0, 3.0, (n_days * 2, 2, NLAT, NLON)).astype(np.float32)
+    v = rng.normal(1.0, 3.0, (n_days * 2, 2, NLAT, NLON)).astype(np.float32)
+    u[:, 0] -= 6.0    # stronger easterlies aloft
+    for nm, arr in (('u', u), ('v', v)):
+        netcdf.write(f'{base}/era5_{nm}_daily_{year}.nc',
+                     {nm: (('time', 'level', 'latitude', 'longitude'), arr)},
+                     coords={'time': t0 + tt, 'level': np.array([250., 850.]),
+                             'latitude': LAT, 'longitude': LON},
+                     var_attrs={'time': tattrs,
+                                'level': {'units': 'millibars'}})
+    return u, v
+
+
+def _write_static(tmp, cfg):
+    land = _land_2d()
+    netcdf.write(cfg.fn_land, {'land': (('lat', 'lon'), land)},
+                 coords={'lat': LAT, 'lon': LON})
+    mld = np.where(land[:, :, None] > 0, np.nan,
+                   40.0 + 20.0 * np.cos(np.deg2rad(LAT))[:, None, None]
+                   * np.ones((NLAT, NLON, 12)))
+    strat = np.where(land[:, :, None] > 0, np.nan,
+                     np.full((NLAT, NLON, 12), 5.0))
+    netcdf.write(cfg.fn_mld, {'mld': (('lat', 'lon', 'month'),
+                                      mld.astype(np.float32))},
+                 coords={'lat': LAT, 'lon': LON,
+                         'month': np.arange(1.0, 13.0)})
+    netcdf.write(cfg.fn_strat, {'strat': (('lat', 'lon', 'month'),
+                                          strat.astype(np.float32))},
+                 coords={'lat': LAT, 'lon': LON,
+                         'month': np.arange(1.0, 13.0)})
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('e2e')
+    cfg = Namelist().replace(
+        base_directory=str(tmp / 'raw'), output_directory=str(tmp / 'out'),
+        exp_name='t', start_year=2016, end_year=2016,
+        tracks_per_year=2, seed_batch=512,
+        fn_land=str(tmp / 'static' / 'land.nc'),
+        fn_bathy=str(tmp / 'static' / 'bathymetry.nc'),
+        fn_mld=str(tmp / 'static' / 'mld.nc'),
+        fn_strat=str(tmp / 'static' / 'strat.nc'),
+        mask_dir=str(tmp / 'land'))
+    os.makedirs(tmp / 'raw'); os.makedirs(tmp / 'out'); os.makedirs(tmp / 'static')
+    u, v = _write_inputs(str(tmp / 'raw'))
+    _write_static(tmp, cfg)
+    return cfg, u, v
+
+
+def test_gen_wind_mean_cov(workdir):
+    cfg, u, v = workdir
+    fn = winds.gen_wind_mean_cov(cfg)
+    assert os.path.exists(fn)
+    ds = netcdf.read(fn)
+    names = winds.wind_mean_names(cfg) + winds.wind_cov_names(cfg)
+    for nm in names:
+        assert nm in ds, nm
+    assert ds['ua250_Mean'].data.shape == (2, NLAT, NLON)   # Jan, Feb
+
+    # verify January stats against direct numpy at one grid point
+    jan = slice(0, 31 * 2)
+    u_daily = u[jan].reshape(31, 2, 2, NLAT, NLON).mean(axis=1)
+    v_daily = v[jan].reshape(31, 2, 2, NLAT, NLON).mean(axis=1)
+    iy, ix = 9, 18
+    np.testing.assert_allclose(ds['ua250_Mean'].data[0, iy, ix],
+                               u_daily[:, 0, iy, ix].mean(), rtol=2e-5)
+    np.testing.assert_allclose(ds['ua250_Var'].data[0, iy, ix],
+                               u_daily[:, 0, iy, ix].var(ddof=0), rtol=2e-4)
+    np.testing.assert_allclose(
+        ds['va250_ua250_cov'].data[0, iy, ix],
+        np.cov(v_daily[:, 0, iy, ix], u_daily[:, 0, iy, ix], ddof=1)[0, 1],
+        rtol=2e-4, atol=1e-5)
+    # idempotence
+    assert winds.gen_wind_mean_cov(cfg) == fn
+
+
+def test_gen_thermo(workdir):
+    cfg, _, _ = workdir
+    fn = thermo_driver.gen_thermo(cfg)
+    assert os.path.exists(fn)
+    vmax, chi, rh, lon, lat, times = thermo_driver.read_thermo(fn)
+    assert vmax.shape == (12, NLAT, NLON)
+    assert tcin.month_of(times).tolist() == list(range(1, 13))
+    # warm tropical ocean -> substantial PI; poles -> ~0
+    trop = vmax[:, (np.abs(LAT) < 25)][:, :, (LON < 270)]
+    assert np.nanmax(trop) > 50.0
+    assert np.nanmean(vmax[:, np.abs(LAT) > 80]) < 10.0
+    assert np.all(chi >= 0) and np.all(chi <= 10)
+    assert np.all((rh >= 0) & (rh <= 1))
+
+
+def test_land_masks_and_pack(workdir):
+    cfg, _, _ = workdir
+    land_masks.generate_land_masks(cfg.fn_land, cfg.mask_dir)
+    for f in land_masks.MASK_FILES:
+        assert os.path.exists(os.path.join(cfg.mask_dir, f))
+
+    # wind stats only cover Jan-Feb; restrict the range for the pack
+    cfg2 = cfg.replace(end_month=2)
+    import shutil
+    src_th = thermo_driver.get_fn_thermo(cfg)
+    # build a 2-month thermo file matching the range
+    vmax, chi, rh, lon, lat, times = thermo_driver.read_thermo(src_th)
+    t_num, t_units = tcin.encode_time_days(times[:2])
+    netcdf.write(thermo_driver.get_fn_thermo(cfg2), {
+        'vmax': (('time', 'lat', 'lon'), vmax[:2]),
+        'chi': (('time', 'lat', 'lon'), chi[:2]),
+        'rh_mid': (('time', 'lat', 'lon'), rh[:2])},
+        coords={'time': t_num, 'lat': lat, 'lon': lon},
+        var_attrs={'time': {'units': t_units}})
+    shutil.copyfile(winds.get_env_wnd_fn(cfg), winds.get_env_wnd_fn(cfg2))
+
+    pack = pack_builder.build_field_pack(cfg2, 'GL')
+    assert pack.wind.shape == (2, NLAT, NLON, 14)
+    assert pack.env.shape == (2, NLAT, NLON, 5)
+    assert pack.basin_masks.shape[-1] == 7
+    assert float(pack.env[..., 1].max()) > 30.0     # scaled vpot
+
+    out_fn = runtime.run_downscaling(cfg2, 'GL', pack,
+                                     key=jax.random.key(11))
+    ds = netcdf.read(out_fn)
+    assert ds['lon_trks'].data.shape[0] == cfg2.tracks_per_year
+    months = ds['tc_month'].data
+    assert np.all((months >= 1) & (months <= 2))    # only in-range months

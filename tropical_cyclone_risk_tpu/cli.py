@@ -1,0 +1,62 @@
+"""Command-line entry point.
+
+Reference equivalent: run.py (basin arg, provenance copy, land-mask
+generation, preprocessing, per-basin downscaling) and
+util/compute.py:24-35 (compute_downscaling_inputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from tropical_cyclone_risk_tpu import runtime
+from tropical_cyclone_risk_tpu.config import Namelist, load_namelist_py
+from tropical_cyclone_risk_tpu.models import pack_builder
+from tropical_cyclone_risk_tpu.preprocess import land_masks, thermo_driver, winds
+
+
+def compute_downscaling_inputs(cfg: Namelist) -> None:
+    """Wind statistics + thermodynamic preprocessing, timed and idempotent
+    (util/compute.py:24-35)."""
+    t0 = time.time()
+    print('Computing wind mean and covariance matrices...')
+    winds.gen_wind_mean_cov(cfg)
+    print('Finished computing wind statistics. Time elapsed: %f s'
+          % (time.time() - t0))
+    t0 = time.time()
+    print('Computing thermodynamic variables...')
+    thermo_driver.gen_thermo(cfg)
+    print('Finished computing thermodynamic variables. '
+          'Time elapsed: %f s' % (time.time() - t0))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description='TPU-native tropical cyclone downscaling '
+                    '(reference CLI: run.py BASIN)')
+    ap.add_argument('basin', help='basin ID (e.g. GL, NA, WP, ...)')
+    ap.add_argument('--namelist', default=None,
+                    help='path to a reference-style namelist.py to load')
+    ap.add_argument('--n-years', type=int, default=None,
+                    help='limit the number of simulated years')
+    args = ap.parse_args(argv)
+
+    cfg = load_namelist_py(args.namelist) if args.namelist else Namelist()
+
+    out_dir = '%s/%s' % (cfg.output_directory, cfg.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    print('Output directory: %s' % out_dir)
+
+    land_masks.generate_land_masks(cfg.fn_land, cfg.mask_dir)
+    compute_downscaling_inputs(cfg)
+
+    pack = pack_builder.build_field_pack(cfg, args.basin)
+    runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

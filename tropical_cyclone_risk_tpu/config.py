@@ -118,6 +118,14 @@ class Namelist:
     var_keys_frozen: Tuple = _freeze({k: _freeze(v)
                                       for k, v in DEFAULT_VAR_KEYS.items()})
 
+    # ---- static data files (reference paths: intensity/geo.py:9-34,
+    # intensity/ocean.py:11-64, scripts/generate_land_masks.py) ----
+    fn_land: str = 'intensity/data/land.nc'
+    fn_bathy: str = 'intensity/data/bathymetry.nc'
+    fn_mld: str = 'intensity/data/mld_climatology.nc'
+    fn_strat: str = 'intensity/data/strat_climatology.nc'
+    mask_dir: str = 'land'
+
     # ---- TPU-native extensions (no reference equivalent) ----
     seed_batch: int = 8192            # seeds proposed per on-device batch
     rk_substeps: int = 1              # RK4 substeps per output interval

@@ -1,0 +1,191 @@
+"""Dataset discovery, loading, and calendar handling for ERA5 / CMIP6 inputs.
+
+Reference equivalent: util/input.py (recursive glob by variable prefix,
+multifile time concatenation, namelist-driven variable-key mapping, calendar
+conversion between np.datetime64 and cftime no-leap).  xarray and cftime are
+not available in this image, so loading goes through io.netcdf and the
+no-leap calendar arithmetic is implemented directly (month bucketing is all
+the pipeline needs from the calendar).
+"""
+
+from __future__ import annotations
+
+import calendar as _cal
+import datetime
+import glob
+import os
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.io import netcdf
+
+# ---------------------------------------------------------------- discovery
+
+def glob_prefix(cfg: Namelist, var_prefix: str) -> List[str]:
+    """Recursive '*{exp_prefix}*.nc' glob filtered to '_{var}_' basenames
+    (util/input.py:23-28)."""
+    fns = glob.glob('%s/**/*%s*.nc' % (cfg.base_directory, cfg.exp_prefix),
+                    recursive=True)
+    fns_var = sorted(x for x in fns if '_%s_' % var_prefix in x)
+    if not fns_var:
+        fns_var = sorted(x for x in fns if '%s_' % var_prefix in x)
+    return fns_var
+
+
+def var_key(cfg: Namelist, name: str) -> str:
+    """Dataset-type-driven variable key (util/input.py:60-88)."""
+    return cfg.var_keys[cfg.dataset_type][name]
+
+
+# ---------------------------------------------------------------- calendar
+
+_UNITS_RE = re.compile(
+    r'^\s*(seconds|minutes|hours|days)\s+since\s+'
+    r'(\d{1,4})-(\d{1,2})-(\d{1,2})[\sT]?(\d{1,2})?:?(\d{1,2})?')
+
+_UNIT_SECONDS = {'seconds': 1, 'minutes': 60, 'hours': 3600, 'days': 86400}
+_NOLEAP_DAYS = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+_NOLEAP_CUM = np.concatenate([[0], np.cumsum(_NOLEAP_DAYS)])
+
+
+def decode_time(values: np.ndarray, units: str, cal: str = 'standard'
+                ) -> np.ndarray:
+    """CF numeric time -> np.datetime64[s].
+
+    Standard/gregorian calendars use datetime64 arithmetic; noleap/365_day
+    (CMIP6 GFDL-CM4, util/input.py:111-133) is decomposed manually and
+    re-expressed as the same (year, month, day, time-of-day) in datetime64 —
+    the pipeline only ever buckets by calendar month, so identifying a
+    no-leap date with its proleptic-Gregorian namesake is lossless here.
+    """
+    m = _UNITS_RE.match(units)
+    if not m:
+        raise ValueError(f'unsupported time units: {units!r}')
+    unit, y0, mo0, d0, h0, mi0 = (m.group(1), int(m.group(2)), int(m.group(3)),
+                                  int(m.group(4)), int(m.group(5) or 0),
+                                  int(m.group(6) or 0))
+    vals = np.asarray(values, np.float64) * _UNIT_SECONDS[unit]
+    cal = (cal or 'standard').lower()
+    if cal in ('standard', 'gregorian', 'proleptic_gregorian', ''):
+        epoch = np.datetime64(
+            f'{y0:04d}-{mo0:02d}-{d0:02d}T{h0:02d}:{mi0:02d}', 's')
+        return epoch + vals.astype('timedelta64[s]')
+    if cal in ('noleap', '365_day'):
+        # seconds from the epoch date in a 365-day calendar
+        base = ((y0 * 365 + int(_NOLEAP_CUM[mo0 - 1]) + (d0 - 1)) * 86400
+                + h0 * 3600 + mi0 * 60)
+        tot = (vals + base).astype(np.int64)
+        days = tot // 86400
+        secs = tot - days * 86400
+        year = days // 365
+        doy = days - year * 365
+        month = np.searchsorted(_NOLEAP_CUM, doy, side='right')
+        dom = doy - _NOLEAP_CUM[month - 1] + 1
+        out = np.empty(vals.shape, 'datetime64[s]')
+        flat_out = out.reshape(-1)
+        for i, (yy, mm, dd, ss) in enumerate(zip(
+                year.reshape(-1), month.reshape(-1), dom.reshape(-1),
+                secs.reshape(-1))):
+            flat_out[i] = (np.datetime64(f'{yy:04d}-{mm:02d}-{dd:02d}', 's')
+                           + np.timedelta64(int(ss), 's'))
+        return out
+    raise ValueError(f'unsupported calendar: {cal!r}')
+
+
+def encode_time_days(times: Sequence[np.datetime64],
+                     epoch: str = '1900-01-01') -> Tuple[np.ndarray, str]:
+    """datetime64 -> CF 'days since epoch' float64 for classic NetCDF output."""
+    t = np.asarray(times, 'datetime64[s]')
+    e = np.datetime64(epoch, 's')
+    return ((t - e) / np.timedelta64(1, 'D')).astype(np.float64), \
+        f'days since {epoch}'
+
+
+def times_of(ds: netcdf.Dataset, time_name: str = 'time') -> np.ndarray:
+    v = ds[time_name]
+    return decode_time(v.data, v.attrs.get('units', ''),
+                       v.attrs.get('calendar', 'standard'))
+
+
+def month_of(times: np.ndarray) -> np.ndarray:
+    return times.astype('datetime64[M]').astype(int) % 12 + 1
+
+
+def year_of(times: np.ndarray) -> np.ndarray:
+    return times.astype('datetime64[Y]').astype(int) + 1970
+
+
+def bounding_times(cfg: Namelist) -> Tuple[datetime.datetime, datetime.datetime]:
+    """Namelist-driven date range (util/input.py:135-139)."""
+    s = datetime.datetime(cfg.start_year, cfg.start_month, 1)
+    n_day = _cal.monthrange(cfg.end_year, cfg.end_month)[1]
+    return s, datetime.datetime(cfg.end_year, cfg.end_month, n_day)
+
+
+def month_midpoints(cfg: Namelist) -> np.ndarray:
+    """Mid-month (15th) timestamps over the configured range — the time axis
+    of every monthly intermediate (thermo/calc_thermo.py:104-110;
+    track/env_wind.py:130-146)."""
+    out = []
+    y, m = cfg.start_year, cfg.start_month
+    for _ in range(cfg.n_months):
+        out.append(np.datetime64(f'{y:04d}-{m:02d}-15', 's'))
+        y, m = (y + 1, 1) if m == 12 else (y, m + 1)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------- loading
+
+class MonthlyVar:
+    """A monthly variable lazily concatenated over its source files."""
+
+    def __init__(self, files: List[str], key: str):
+        if not files:
+            raise FileNotFoundError(f'no input files found for {key!r}')
+        self.files = files
+        self.key = key
+
+    def load_range(self, t0: datetime.datetime, t1: datetime.datetime):
+        """Concatenate [time, ...] data within [t0, t1].  Returns
+        (times [T], data [T, ...], dataset-of-last-file for axis metadata)."""
+        datas, times = [], []
+        last = None
+        t0_64 = np.datetime64(t0, 's')
+        t1_64 = np.datetime64(t1, 's')
+        for fn in self.files:
+            ds = netcdf.read(fn)
+            t = times_of(ds)
+            sel = (t >= t0_64) & (t <= t1_64)
+            if not sel.any():
+                continue
+            datas.append(np.asarray(ds[self.key].data)[sel])
+            times.append(t[sel])
+            last = ds
+        if last is None:
+            raise ValueError(f'{self.key}: no data within [{t0}, {t1}]')
+        return np.concatenate(times), np.concatenate(datas, axis=0), last
+
+
+def open_monthly(cfg: Namelist, name: str) -> MonthlyVar:
+    key = var_key(cfg, name)
+    return MonthlyVar(glob_prefix(cfg, key), key)
+
+
+def axes_of(cfg: Namelist, ds: netcdf.Dataset) -> Tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) axes of a dataset using the namelist key mapping."""
+    return (np.asarray(ds[var_key(cfg, 'lon')].data, np.float64),
+            np.asarray(ds[var_key(cfg, 'lat')].data, np.float64))
+
+
+def level_axis_pa(cfg: Namelist, ds: netcdf.Dataset) -> np.ndarray:
+    """Pressure-level axis in Pa regardless of source units
+    (thermo/calc_thermo.py:59-62; track/env_wind.py:180-184)."""
+    v = ds[var_key(cfg, 'lvl')]
+    lvl = np.asarray(v.data, np.float64)
+    units = str(v.attrs.get('units', ''))
+    if units in ('millibars', 'hPa') or (units == '' and lvl.max() < 2000):
+        return lvl * 100.0
+    return lvl

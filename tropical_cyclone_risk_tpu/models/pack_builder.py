@@ -1,0 +1,128 @@
+"""Assemble the HBM-resident FieldPack from preprocessing outputs.
+
+Reference equivalent: the per-month interpolant construction at the top of
+run_tracks (util/compute.py:66-121) plus BetaAdvectionTrack._load_wnd_stat
+(track/bam_track.py:76-91) — the reference builds ~26 scipy spline objects
+per month per process; here the same data becomes four packed device arrays
+built once per run.
+
+Plane layout: plane = (year - start_year) * 12 + (month - 1); thermo and
+wind-stat files carry mid-month timestamps, so the reference's time
+"interpolation" at the month midpoint (compute.py:108-112) is an exact
+plane select.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.io import input as tcin
+from tropical_cyclone_risk_tpu.io import netcdf
+from tropical_cyclone_risk_tpu.models import fields as F
+from tropical_cyclone_risk_tpu.ops import interp
+from tropical_cyclone_risk_tpu.preprocess import static, thermo_driver, winds
+from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+
+
+def _normalize(lon, lat, *arrs, lat_axis: int, lon_axis: int):
+    """Ascending lat + ascending 0-360 lon for every array."""
+    arrs = list(arrs)
+    if lat[0] > lat[-1]:
+        lat = lat[::-1].copy()
+        arrs = [np.flip(a, axis=lat_axis).copy() for a in arrs]
+    lon0360 = np.mod(np.asarray(lon), 360.0)
+    order = np.argsort(lon0360, kind='stable')
+    lon_r = lon0360[order]
+    arrs = [np.take(a, order, axis=lon_axis) for a in arrs]
+    return lon_r, lat, arrs
+
+
+def _plane_index(cfg: Namelist, times: np.ndarray) -> np.ndarray:
+    yy = tcin.year_of(times)
+    mm = tcin.month_of(times)
+    return (yy - cfg.start_year) * 12 + (mm - cfg.start_month)
+
+
+def build_field_pack(cfg: Namelist, basin_id: str,
+                     fn_thermo: Optional[str] = None,
+                     fn_wnd: Optional[str] = None) -> F.FieldPack:
+    """Load thermo + wind-stat + static files into a FieldPack."""
+    fn_thermo = fn_thermo or thermo_driver.get_fn_thermo(cfg)
+    fn_wnd = fn_wnd or winds.get_env_wnd_fn(cfg)
+
+    # ---- wind statistics (defines the atmospheric grid) ----
+    wind, w_lon, w_lat, w_times = winds.read_env_wnd(cfg, fn_wnd)
+    w_lon, w_lat, (wind,) = _normalize(w_lon, w_lat, wind,
+                                       lat_axis=1, lon_axis=2)
+    grid = interp.UniformGrid.from_axes(w_lon, w_lat)
+
+    # ---- thermo fields ----
+    vmax, chi_raw, rh, t_lon, t_lat, t_times = thermo_driver.read_thermo(
+        fn_thermo)
+    t_lon, t_lat, (vmax, chi_raw, rh) = _normalize(
+        t_lon, t_lat, vmax, chi_raw, rh, lat_axis=1, lon_axis=2)
+
+    n_planes = cfg.n_months
+    if not (np.array_equal(_plane_index(cfg, w_times), np.arange(n_planes))
+            and np.array_equal(_plane_index(cfg, t_times),
+                               np.arange(n_planes))):
+        raise ValueError('thermo/wind-stat files do not cover the configured '
+                         'month range contiguously')
+
+    same_grid = (t_lon.size == w_lon.size and t_lat.size == w_lat.size
+                 and np.allclose(t_lon, w_lon) and np.allclose(t_lat, w_lat))
+    if not same_grid:
+        rg = lambda a: np.stack([np.asarray(interp.regrid(
+            a[i], t_lon, t_lat, w_lon, w_lat)) for i in range(a.shape[0])])
+        vmax, chi_raw, rh = rg(vmax), rg(chi_raw), rg(rh)
+
+    # PI scaling and chi fudge applied at load time (util/compute.py:76,
+    # 110-115)
+    vpot = np.nan_to_num(vmax * cfg.PI_reduc * math.sqrt(cfg.Ck / cfg.Cd))
+    chi = F.prepare_chi(chi_raw, cfg)
+
+    # ---- monthly ocean climatologies -> atmos grid, tiled over years ----
+    mld12, m_lon, m_lat = static.load_monthly_climatology(cfg.fn_mld, 'mld')
+    strat12, s_lon, s_lat = static.load_monthly_climatology(cfg.fn_strat,
+                                                            'strat')
+    rg12 = lambda a, lo, la: np.stack([np.asarray(interp.regrid(
+        a[i], lo, la, w_lon, w_lat)) for i in range(12)])
+    mld12 = rg12(mld12, m_lon, m_lat)
+    strat12 = rg12(strat12, s_lon, s_lat)
+    # plane p covers month (start_month - 1 + p) % 12
+    month_idx = (cfg.start_month - 1 + np.arange(n_planes)) % 12
+    mld = mld12[month_idx]
+    strat = strat12[month_idx]
+
+    env = np.stack([chi, vpot, mld, strat, rh], axis=-1).astype(np.float32)
+    assert env.shape[-1] == F.N_ENV
+
+    # ---- static land / bathymetry ----
+    land, l_lon, l_lat = static.load_land(cfg.fn_land)
+    bathy, b_lon, b_lat = static.load_bathy(
+        cfg.fn_bathy if os.path.exists(cfg.fn_bathy) else None,
+        land, l_lon, l_lat)
+
+    # ---- basin masks ----
+    from tropical_cyclone_risk_tpu.preprocess import land_masks
+    masks, k_lon, k_lat = land_masks.load_basin_masks(cfg, cfg.mask_dir)
+    ds_run = netcdf.read(os.path.join(cfg.mask_dir, f'{basin_id}.nc'))
+    run_mask = np.asarray(ds_run['basin'].data, np.float32)
+
+    return F.FieldPack(
+        grid=grid,
+        wind=jnp.asarray(wind, jnp.float32),
+        env=jnp.asarray(env),
+        land_grid=interp.UniformGrid.from_axes(l_lon, l_lat),
+        land=jnp.asarray(land, jnp.float32),
+        bathy_grid=interp.UniformGrid.from_axes(b_lon, b_lat),
+        bathy=jnp.asarray(bathy, jnp.float32),
+        mask_grid=interp.UniformGrid.from_axes(k_lon, k_lat),
+        basin_masks=jnp.asarray(masks, jnp.float32),
+        run_mask=jnp.asarray(run_mask, jnp.float32))

@@ -78,9 +78,15 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
     lon = take(lon_r)
     lat = take(lat_r)
 
-    # --- month and field plane (util/compute.py:151-152) ---
+    # --- month and field plane (util/compute.py:151-152); the plane is the
+    # (year, month) slot in the FieldPack.  Months outside the configured
+    # data range behave like the reference's out-of-range time interp
+    # (NaN -> vpot 0 -> PI gate rejects): clamped plane, integrate=False.
     month = jax.random.randint(k_month, (n,), 1, 13)
-    plane = plane_offset + month - 1
+    plane_raw = plane_offset + month - cfg.start_month
+    n_planes = pack.env.shape[0]
+    plane_ok = (plane_raw >= 0) & (plane_raw < n_planes)
+    plane = jnp.clip(plane_raw, 0, n_planes - 1)
 
     # --- basin assignment (util/compute.py:155-158) ---
     basin_vals = interp.bilinear(pack.basin_masks, pack.mask_grid, lon, lat)
@@ -96,7 +102,7 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
 
     # --- PI gate (util/compute.py:162,168-169): raw vpot interpolant ---
     env = interp.bilinear(pack.env, pack.grid, lon, lat, plane)
-    integrate = counted & (env[:, F.VPOT] > 35.0)
+    integrate = counted & plane_ok & (env[:, F.VPOT] > 35.0)
 
     # --- initial state (util/compute.py:172-175) ---
     v_init = cfg.seed_v_init_ms + jax.random.normal(k_vinit, (n,))

@@ -1,0 +1,201 @@
+"""Environmental steering-wind statistics: monthly mean + covariance fields.
+
+Reference equivalent: track/env_wind.py (gen_wind_mean_cov / calc_wnd_stat).
+The reference fans one dask process per (u-file, v-file) pair and computes
+per-month xarray reductions; here the per-month statistics are one fused JAX
+reduction over the packed daily wind stack [D, W, nlat, nlon] — a single
+einsum produces the full covariance matrix for every grid point at once.
+
+Variable-name and file-name contracts match the reference exactly
+(track/env_wind.py:13-42, 104-113) so downstream consumers (and the
+reference's own readers) interoperate.
+
+Documented quirk kept for parity: the reference's variances are population
+variances (xarray .var, ddof=0) while its covariances are sample covariances
+(xr.cov, ddof=1) — see calc_wnd_stat (track/env_wind.py:205-219).  With a
+month of daily samples (D~30) the difference is ~3%.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.io import input as tcin
+from tropical_cyclone_risk_tpu.io import netcdf
+
+
+def get_env_wnd_fn(cfg: Namelist) -> str:
+    """Output filename contract (track/env_wind.py:13-18)."""
+    return '%s/env_wnd_%s_%d%02d_%d%02d.nc' % (
+        cfg.output_directory, cfg.exp_prefix, cfg.start_year, cfg.start_month,
+        cfg.end_year, cfg.end_month)
+
+
+def wind_mean_names(cfg: Namelist) -> List[str]:
+    """['ua250_Mean', 'va250_Mean', ...] (track/env_wind.py:22-27)."""
+    names = []
+    for p in cfg.steering_levels:
+        names += ['ua%s' % p, 'va%s' % p]
+    return [x + '_Mean' for x in names]
+
+
+def wind_cov_names(cfg: Namelist) -> List[str]:
+    """Row-major lower-triangle names: diag '<v>_Var', off-diag
+    '<vi>_<vj>_cov' (track/env_wind.py:30-42)."""
+    names = []
+    for p in cfg.steering_levels:
+        names += ['ua%s' % p, 'va%s' % p]
+    out = []
+    for i in range(len(names)):
+        for j in range(i + 1):
+            out.append(names[i] + '_Var' if i == j
+                       else names[i] + '_' + names[j] + '_cov')
+    return out
+
+
+@jax.jit
+def _monthly_stats(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: [D, W, nlat, nlon] daily winds -> (mean [W, ...], cov [W, W, ...]).
+
+    Diagonal uses ddof=0 and off-diagonals ddof=1 (reference quirk, see
+    module docstring)."""
+    D, W = x.shape[0], x.shape[1]
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean[None]
+    prod = jnp.einsum('dinm,djnm->ijnm', xc, xc)
+    eye = jnp.eye(W).reshape(W, W, 1, 1)
+    cov = prod * (eye / D + (1.0 - eye) / max(D - 1, 1))
+    return mean, cov
+
+
+def _daily_means(u: np.ndarray, times: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Group sub-daily samples into daily means (track/env_wind.py:187-195).
+    u: [T, ...]; times datetime64[s].  Returns (days, u_daily)."""
+    days = times.astype('datetime64[D]')
+    uniq, inv = np.unique(days, return_inverse=True)
+    if uniq.size == times.size:
+        return uniq, u
+    out = np.zeros((uniq.size,) + u.shape[1:], u.dtype)
+    cnt = np.bincount(inv, minlength=uniq.size).astype(u.dtype)
+    np.add.at(out, inv, u)
+    return uniq, out / cnt.reshape((-1,) + (1,) * (u.ndim - 1))
+
+
+def _select_levels(cfg: Namelist, ds: netcdf.Dataset, data: np.ndarray
+                   ) -> np.ndarray:
+    """Select the steering levels from [T, L, nlat, nlon] -> [T, S, ...]
+    (track/env_wind.py:180-184, hPa vs Pa)."""
+    lvl_pa = tcin.level_axis_pa(cfg, ds)
+    idx = []
+    for p_hPa in cfg.steering_levels:
+        i = int(np.argmin(np.abs(lvl_pa - p_hPa * 100.0)))
+        if abs(lvl_pa[i] - p_hPa * 100.0) > 1.0:
+            raise ValueError(f'steering level {p_hPa} hPa not in file '
+                             f'(levels: {lvl_pa / 100.0})')
+        idx.append(i)
+    return data[:, idx]
+
+
+def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str
+                       ) -> Optional[Dict[Tuple[int, int], np.ndarray]]:
+    """Monthly wind stats from one (u, v) daily file pair
+    (track/env_wind.py:120-228).  Returns {(year, month): [14, nlat, nlon]}."""
+    ds_u = netcdf.read(fn_u)
+    ds_v = netcdf.read(fn_v)
+    u_raw = np.asarray(ds_u[tcin.var_key(cfg, 'u')].data)
+    v_raw = np.asarray(ds_v[tcin.var_key(cfg, 'v')].data)
+    times = tcin.times_of(ds_u)
+
+    t0, t1 = tcin.bounding_times(cfg)
+    sel = (times >= np.datetime64(t0, 's')) & (times <= np.datetime64(t1, 's'))
+    if not sel.any():
+        return None
+    u_raw, v_raw, times = u_raw[sel], v_raw[sel], times[sel]
+
+    u_lvl = _select_levels(cfg, ds_u, u_raw)       # [T, S, nlat, nlon]
+    v_lvl = _select_levels(cfg, ds_v, v_raw)
+    # interleave to (ua_l1, va_l1, ua_l2, va_l2, ...): the reference's wind
+    # vector order is per-level (u, v) pairs (track/env_wind.py:24-25)
+    W = 2 * len(cfg.steering_levels)
+    wnds = np.stack(sum(([u_lvl[:, i], v_lvl[:, i]]
+                         for i in range(len(cfg.steering_levels))), []),
+                    axis=1)                         # [T, W, nlat, nlon]
+
+    days, daily = _daily_means(wnds, times)
+    ym = np.stack([tcin.year_of(days), tcin.month_of(days)], axis=1)
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for (yy, mm) in np.unique(ym, axis=0):
+        m_sel = (ym[:, 0] == yy) & (ym[:, 1] == mm)
+        mean, cov = _monthly_stats(jnp.asarray(daily[m_sel], jnp.float32))
+        mean = np.asarray(mean)
+        cov = np.asarray(cov)
+        tri = [cov[i, j] for i in range(W) for j in range(i + 1)]
+        out[(int(yy), int(mm))] = np.concatenate(
+            [mean, np.stack(tri)], axis=0)          # [W + W(W+1)/2, ...]
+    return out
+
+
+def gen_wind_mean_cov(cfg: Namelist) -> str:
+    """Compute and write the monthly wind mean/cov file; idempotent
+    (track/env_wind.py:83-118)."""
+    fn_out = get_env_wnd_fn(cfg)
+    if os.path.exists(fn_out):
+        return fn_out
+
+    fns_u = tcin.glob_prefix(cfg, tcin.var_key(cfg, 'u'))
+    fns_v = tcin.glob_prefix(cfg, tcin.var_key(cfg, 'v'))
+    if not fns_u or not fns_v:
+        raise FileNotFoundError(
+            f'no daily wind files under {cfg.base_directory} '
+            f'(prefix {cfg.exp_prefix})')
+
+    stats: Dict[Tuple[int, int], np.ndarray] = {}
+    lon = lat = None
+    for fn_u, fn_v in zip(fns_u, fns_v):
+        pair = compute_pair_stats(cfg, fn_u, fn_v)
+        if pair:
+            stats.update(pair)
+            if lon is None:
+                ds_u = netcdf.read(fn_u)
+                lon, lat = tcin.axes_of(cfg, ds_u)
+
+    if not stats:
+        raise ValueError('no wind data within the configured date range')
+
+    months = sorted(stats.keys())
+    stack = np.stack([stats[k] for k in months])     # [P, C, nlat, nlon]
+    t_mid = np.asarray([np.datetime64(f'{y:04d}-{m:02d}-15', 's')
+                        for (y, m) in months])
+    t_num, t_units = tcin.encode_time_days(t_mid)
+
+    names = wind_mean_names(cfg) + wind_cov_names(cfg)
+    data_vars = {nm: (('time', 'lat', 'lon'), stack[:, i].astype(np.float32))
+                 for i, nm in enumerate(names)}
+    os.makedirs(os.path.dirname(fn_out) or '.', exist_ok=True)
+    netcdf.write(fn_out, data_vars,
+                 coords={'time': t_num, 'lat': lat, 'lon': lon},
+                 var_attrs={'time': {'units': t_units}})
+    print('Saved %s' % fn_out)
+    return fn_out
+
+
+def read_env_wnd(cfg: Namelist, fn: str) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, np.ndarray]:
+    """Read the wind-stats file into a packed channel-last stack.
+
+    Returns (wind [P, nlat, nlon, W + W(W+1)/2], lon, lat, times) with
+    channels ordered means-then-lower-triangle — the FieldPack layout
+    (reference reader equivalent: track/env_wind.py:60-77)."""
+    ds = netcdf.read(fn)
+    names = wind_mean_names(cfg) + wind_cov_names(cfg)
+    stack = np.stack([np.asarray(ds[nm].data, np.float32) for nm in names],
+                     axis=-1)
+    lon = np.asarray(ds['lon'].data, np.float64)
+    lat = np.asarray(ds['lat'].data, np.float64)
+    return stack, lon, lat, tcin.times_of(ds)
