@@ -1,0 +1,133 @@
+"""Analysis-library tests (reference notebook recipes as code) plus the
+standalone BAM tracker and download request contracts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tropical_cyclone_risk_tpu import analysis, runtime
+from tropical_cyclone_risk_tpu.config import Namelist
+from tropical_cyclone_risk_tpu.models import bam
+from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
+from tropical_cyclone_risk_tpu.ops import fourier
+
+CFG = Namelist()
+
+
+def _write_member(path, cfg, seed, n_trk=6):
+    rng = np.random.default_rng(seed)
+    T = cfg.n_steps_output
+    n_years = len(cfg.years())
+    lon = np.cumsum(rng.normal(0, 0.2, (n_trk, T)), axis=1) + 250.0
+    lat = np.cumsum(rng.normal(0.05, 0.1, (n_trk, T)), axis=1) + 15.0
+    v = np.clip(rng.normal(30, 10, (n_trk, T)), 5, None)
+    # make track 0 pass near the POI (260E, 25N) with known vmax
+    lon[0] = 260.0
+    lat[0] = 25.0
+    v[0] = 55.0
+    out = {
+        'lon': lon, 'lat': lat, 'v': v, 'm': v * 0 + 0.5, 'vmax': v + 5,
+        'wnds': rng.normal(0, 5, (n_trk, T, 4)),
+        'month': rng.integers(6, 11, n_trk),
+        'basin_idx': np.full(n_trk, 2),      # 'NA' in sorted basins
+        'n_seeds': rng.integers(50, 150, (n_years, 7, 12)).astype(float),
+        'year': np.repeat(cfg.years(), n_trk // n_years or 1)[:n_trk],
+    }
+    runtime.write_tracks_nc(path, out, cfg)
+    return out
+
+
+@pytest.fixture(scope='module')
+def ensemble(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('an')
+    cfg = CFG.replace(start_year=2016, end_year=2017)
+    paths = []
+    for e in range(3):
+        p = str(tmp / f'tracks_NA_era5_201601_201712_e{e}.nc')
+        _write_member(p, cfg, seed=e)
+        paths.append(p)
+    return analysis.open_tracks(paths), cfg
+
+
+def test_open_tracks_shapes(ensemble):
+    ens, cfg = ensemble
+    assert ens.n_ensemble == 3
+    assert ens.lon.shape == (3, 6, cfg.n_steps_output)
+    assert ens.tc_basins.shape == (3, 6)
+    assert ens.tc_basins[0, 0] == 'NA'
+    assert list(ens.basin) == list(cfg.basin_ids_sorted())
+
+
+def test_seasonal_cycle(ensemble):
+    ens, _ = ensemble
+    dens = analysis.seasonal_cycle(ens, 'NA')
+    assert dens.shape == (12,)
+    assert dens.sum() == pytest.approx(1.0)
+    assert dens[:4].sum() == 0.0          # months drawn in 6..10
+
+
+def test_interannual_frequency(ensemble):
+    ens, cfg = ensemble
+    freq, c = analysis.interannual_frequency(ens, 'NA', cfg.tracks_per_year,
+                                             obs_tracks_per_year=14.0)
+    assert freq.shape == (2,)
+    assert freq.mean() == pytest.approx(14.0, rel=0.2)
+
+
+def test_return_periods(ensemble):
+    ens, _ = ensemble
+    bins, rp = analysis.return_periods(ens, poi_lon=260.0, poi_lat=25.0)
+    assert np.all(np.diff(rp[np.isfinite(rp)]) >= 0)   # monotone curve
+    # track 0 of each member sits at the POI with vmax 60
+    i55 = np.searchsorted(bins, 55.0)
+    assert np.isfinite(rp[i55])
+    assert rp[-1] == np.inf                            # 80 m/s never reached
+
+
+def test_track_density_and_lmi(ensemble):
+    ens, _ = ensemble
+    h, lon_e, lat_e = analysis.track_density(ens, res_deg=5.0)
+    assert h.sum() > 0
+    # all tracks live in the NA box
+    iy, ix = np.nonzero(h)
+    assert lat_e[iy].min() >= 0 and lon_e[ix].max() <= 330
+    centers, dens = analysis.lmi_distribution(ens)
+    assert dens.sum() > 0
+
+
+def test_bam_standalone_tracks():
+    cfg = Namelist()
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    n = 8
+    fs = fourier.draw_fourier(jax.random.key(0), (n, cfg.n_wind_levels),
+                              cfg.T_fourier_s)
+    out = bam.gen_tracks(pack, cfg, 'GL',
+                         np.linspace(150, 220, n), np.full(n, 15.0),
+                         jnp.full(n, 7, jnp.int32), fs)
+    lon = np.asarray(out.lon)
+    assert lon.shape == (n, cfg.n_steps_output)
+    assert np.all(np.asarray(out.alive)[:, 0])
+    # tracks move: displacement after one day is nonzero
+    assert np.nanmax(np.abs(lon[:, 24] - lon[:, 0])) > 0.1
+    # poleward beta drift in the NH
+    lat = np.asarray(out.lat)
+    mean_drift = np.nanmean(lat[:, 48] - lat[:, 0])
+    assert mean_drift > 0
+
+
+def test_download_request_shapes():
+    from tropical_cyclone_risk_tpu.scripts import download_cmip6, download_era5
+    reqs = download_era5.year_requests(2020)
+    assert len(reqs) == 6
+    names = [r[1] for r in reqs]
+    assert 'era5_u_daily_2020.nc' in names and 'era5_sst_2020.nc' in names
+    daily = dict((r[1], r[2]) for r in reqs)['era5_u_daily_2020.nc']
+    assert daily['pressure_level'] == ['250', '850']
+    assert daily['time'] == ['00:00', '12:00']
+    url = download_cmip6.search_url('ua', 'day')
+    assert 'variable_id=ua' in url and 'GFDL-CM4' in url
+    # gated error without cdsapi
+    cfg = Namelist()
+    with pytest.raises(RuntimeError, match='cdsapi'):
+        download_era5.download_year(cfg, 2020)

@@ -1,0 +1,163 @@
+"""Post-processing analysis of track ensembles.
+
+Reference equivalent: notebooks/sample_analysis.ipynb (cells 1-17) — the
+reference ships these recipes only as a notebook; here they are a tested
+library: multi-ensemble loading, the seasonal genesis cycle, calibrated
+interannual frequency, and point return-period curves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob as _glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tropical_cyclone_risk_tpu.io import netcdf
+
+MS_TO_KTS = 1.94384
+
+
+@dataclasses.dataclass
+class TrackEnsemble:
+    """All members of a tracks_*.nc ensemble stacked on a leading
+    'ensemble' axis (notebook cell 5's open_mfdataset equivalent)."""
+    lon: np.ndarray            # [E, n_trk, T]
+    lat: np.ndarray
+    vmax: np.ndarray
+    v: np.ndarray
+    tc_month: np.ndarray       # [E, n_trk]
+    tc_years: np.ndarray       # [E, n_trk]
+    tc_basins: np.ndarray      # [E, n_trk] 'U2'
+    seeds_per_month: np.ndarray  # [E, n_year, n_basin, 12]
+    year: np.ndarray           # [n_year]
+    basin: List[str]
+
+    @property
+    def n_ensemble(self) -> int:
+        return self.lon.shape[0]
+
+
+def _decode_str(arr: np.ndarray) -> np.ndarray:
+    """Char-matrix (classic NetCDF) -> 'U' string array."""
+    if arr.dtype.kind == 'S' and arr.ndim >= 1:
+        return arr.view(f'S{arr.shape[-1]}')[..., 0].astype('U')
+    return arr.astype('U')
+
+
+def open_tracks(paths: Sequence[str]) -> TrackEnsemble:
+    """Load one or more ensemble member files (same shapes required)."""
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths))
+    if not paths:
+        raise FileNotFoundError('no track files given')
+    stacks: Dict[str, List[np.ndarray]] = {k: [] for k in (
+        'lon_trks', 'lat_trks', 'vmax_trks', 'v_trks', 'tc_month',
+        'tc_years', 'tc_basins', 'seeds_per_month')}
+    year = basin = None
+    for p in paths:
+        ds = netcdf.read(p)
+        for k in stacks:
+            arr = np.asarray(ds[k].data)
+            if k == 'tc_basins':
+                arr = _decode_str(arr)
+            stacks[k].append(arr)
+        year = np.asarray(ds['year'].data)
+        basin = [str(x) for x in _decode_str(np.asarray(ds['basin'].data))]
+    st = {k: np.stack(v) for k, v in stacks.items()}
+    return TrackEnsemble(
+        lon=st['lon_trks'], lat=st['lat_trks'], vmax=st['vmax_trks'],
+        v=st['v_trks'], tc_month=st['tc_month'], tc_years=st['tc_years'],
+        tc_basins=st['tc_basins'], seeds_per_month=st['seeds_per_month'],
+        year=year, basin=basin)
+
+
+def seasonal_cycle(ens: TrackEnsemble, basin_id: str) -> np.ndarray:
+    """Normalized genesis-month histogram for one basin
+    (notebook cell 9).  Returns density [12]."""
+    mask = ens.tc_basins == basin_id
+    months = ens.tc_month[mask].astype(int)
+    hist = np.bincount(months, minlength=13)[1:13].astype(float)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+def interannual_frequency(ens: TrackEnsemble, basin_id: str,
+                          tracks_per_year: int,
+                          obs_tracks_per_year: float
+                          ) -> Tuple[np.ndarray, float]:
+    """Calibrated yearly storm frequency (notebook cell 11).
+
+    gamma(year) = tracks_per_year / total seeds needed that year;
+    c = obs / mean(gamma);  returns (c * gamma [n_year], c)."""
+    b = ens.basin.index(basin_id)
+    seeds_per_year = ens.seeds_per_month.sum(axis=(0, 3))[:, b]
+    gamma = tracks_per_year / seeds_per_year
+    c = obs_tracks_per_year / gamma.mean()
+    return c * gamma, float(c)
+
+
+def max_wind_near_point(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
+                        radius_km: float = 100.0) -> np.ndarray:
+    """Lifetime-max vmax of each track while within radius of the point
+    (notebook cells 13-15).  Returns [E, n_trk] with NaN for never-near."""
+    lon1, lat1, lon2, lat2 = map(np.deg2rad, (
+        np.float64(poi_lon % 360.0), np.float64(poi_lat),
+        ens.lon % 360.0, ens.lat))
+    a = (np.sin((lat2 - lat1) / 2) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2)
+    km = 6378.0 * 2 * np.arcsin(np.sqrt(a))
+    v = np.where((km <= radius_km) & np.isfinite(ens.vmax), ens.vmax,
+                 -np.inf)
+    m = v.max(axis=-1)
+    return np.where(np.isfinite(m), m, np.nan)
+
+
+def return_periods(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
+                   radius_km: float = 100.0,
+                   vmax_bins: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Point return-period curve (notebook cells 15-17).
+
+    Returns (vmax_bins [m/s], return_period_years) with inf where never
+    exceeded."""
+    if vmax_bins is None:
+        vmax_bins = np.arange(10.0, 81.0, 5.0)
+    vpoi = max_wind_near_point(ens, poi_lon, poi_lat, radius_km).ravel()
+    total_years = ens.year.size * ens.n_ensemble
+    counts = np.array([(vpoi >= b).sum() for b in vmax_bins], float)
+    with np.errstate(divide='ignore'):
+        rp = np.where(counts > 0, total_years / np.maximum(counts, 1e-30),
+                      np.inf)
+    return vmax_bins, rp
+
+
+def track_density(ens: TrackEnsemble, res_deg: float = 2.0,
+                  min_wind: float = 0.0) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray]:
+    """Track-point density on a lat/lon grid — the parity metric of
+    BASELINE.json (not in the notebook, standard in Lin et al. 2023 figs).
+    Returns (density [nlat, nlon], lon_edges, lat_edges)."""
+    lon_e = np.arange(0.0, 360.0 + res_deg, res_deg)
+    lat_e = np.arange(-90.0, 90.0 + res_deg, res_deg)
+    sel = np.isfinite(ens.lon) & np.isfinite(ens.lat) & \
+        (np.nan_to_num(ens.v) >= min_wind)
+    h, _, _ = np.histogram2d(ens.lat[sel].ravel(),
+                             (ens.lon[sel] % 360.0).ravel(),
+                             bins=(lat_e, lon_e))
+    return h, lon_e, lat_e
+
+
+def lmi_distribution(ens: TrackEnsemble, bins: Optional[np.ndarray] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Lifetime-maximum-intensity histogram (BASELINE.json parity metric).
+    Returns (bin_centers [m/s], density)."""
+    if bins is None:
+        bins = np.arange(15.0, 100.0, 5.0)
+    with np.errstate(all='ignore'):
+        lmi = np.nanmax(np.where(np.isfinite(ens.vmax), ens.vmax, -np.inf),
+                        axis=-1).ravel()
+    lmi = lmi[np.isfinite(lmi)]
+    h, edges = np.histogram(lmi, bins=bins, density=True)
+    return 0.5 * (edges[:-1] + edges[1:]), h
