@@ -14,6 +14,11 @@ import json
 import time
 
 import jax
+
+try:
+    from tools import _tpu_cache  # noqa: F401
+except ImportError:
+    pass
 import jax.numpy as jnp
 import numpy as np
 

@@ -116,7 +116,8 @@ def test_integrate_matches_solve_ivp():
     out = simulator.integrate(pack, CFG, 'GL', y0, params,
                               jnp.ones(2, bool))
 
-    rhs_jit = jax.jit(lambda t, y: fast.rhs(pack, CFG, t, y, params))
+    stacks = fields.build_stacks(pack)
+    rhs_jit = jax.jit(lambda t, y: fast.rhs(stacks, CFG, t, y, params))
 
     def rhs_np(t, yflat):
         y = fast.State(*(jnp.asarray(yflat.reshape(4, 2), jnp.float32)))

@@ -2,6 +2,7 @@
 import time
 
 import jax
+import _tpu_cache  # noqa: F401
 import jax.numpy as jnp
 import numpy as np
 

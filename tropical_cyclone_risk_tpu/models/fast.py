@@ -59,12 +59,11 @@ def steering_coefs(cfg: Namelist, v):
     return jnp.broadcast_to(coefs, v.shape + coefs.shape)
 
 
-def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,
-                     fourier: FourierSeries, t):
-    """Environmental winds at (lon, lat, t): monthly mean + Cholesky-colored
-    Fourier synthetic flow (track/bam_track.py:116-128).  Returns [N, W]."""
+def color_winds(cfg: Namelist, stats, fourier: FourierSeries, t):
+    """Environmental winds from gathered wind statistics [N, W + W(W+1)/2]:
+    monthly mean + Cholesky-colored Fourier synthetic flow
+    (track/bam_track.py:116-128).  Returns [N, W]."""
     W = cfg.n_wind_levels
-    stats = interp.bilinear(pack.wind, pack.grid, lon, lat, plane)
     mean = stats[:, :W]
     cov = chol.lower_tri_to_full(stats[:, W:], W)
     L, ok = chol.cholesky_unrolled(cov)
@@ -73,6 +72,14 @@ def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,
     # non-PD covariance -> zero winds (reference zero-fallback,
     # track/bam_track.py:123-126)
     return jnp.where(ok[:, None], wnds, 0.0)
+
+
+def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,
+                     fourier: FourierSeries, t):
+    """Winds at (lon, lat, t) gathering from the pack directly (one-shot
+    callers; the integration loop gathers via the fused stacks instead)."""
+    stats = interp.bilinear(pack.wind, pack.grid, lon, lat, plane)
+    return color_winds(cfg, stats, fourier, t)
 
 
 def shear_magnitude(cfg: Namelist, wnds):
@@ -104,15 +111,17 @@ def ocean_alpha(cfg: Namelist, env, land_val, bathy_val, u_T, v):
     return jnp.where(no_mixing, 1.0, 1.0 - 0.87 * fac), v_pot
 
 
-def rhs(pack: F.FieldPack, cfg: Namelist, t, y: State, params: SeedParams
-        ) -> Tuple[State, jnp.ndarray]:
+def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
+        params: SeedParams) -> Tuple[State, jnp.ndarray]:
     """Full coupled tendency (coupled_fast.py:196-207) for the batch.
 
-    Returns (dy/dt as a State of tendencies, sampled winds [N, W])."""
+    stacks: fused gather sources (fields.build_stacks).  Returns (dy/dt as a
+    State of tendencies, sampled winds [N, W])."""
     lon, lat, v, m = y
 
-    wnds = sample_env_winds(pack, cfg, lon, lat, params.plane,
-                            params.fourier, t)
+    cell = interp.bilinear(stacks.cell, stacks.grid, lon, lat, params.plane)
+    env = cell[:, stacks.n_wind_ch:]
+    wnds = color_winds(cfg, cell[:, :stacks.n_wind_ch], params.fourier, t)
     # hard stop poleward of 80 deg (track/bam_track.py:131-135)
     polar = jnp.abs(lat) >= 80.0
     wnds = jnp.where(polar[:, None], 0.0, wnds)
@@ -125,9 +134,13 @@ def rhs(pack: F.FieldPack, cfg: Namelist, t, y: State, params: SeedParams
     v_bam = jnp.where(polar, 0.0,
                       v_steer + jnp.sign(lat) * cfg.v_beta * w_lat)
 
-    env = interp.bilinear(pack.env, pack.grid, lon, lat, params.plane)
-    land_val = interp.bilinear_scalar(pack.land, pack.land_grid, lon, lat)
-    bathy_val = interp.bilinear_scalar(pack.bathy, pack.bathy_grid, lon, lat)
+    geo = interp.bilinear(stacks.land_geo, stacks.land_grid, lon, lat)
+    land_val = geo[:, 0]
+    if stacks.fused_geo:
+        bathy_val = geo[:, 1]
+    else:
+        bathy_val = interp.bilinear_scalar(stacks.bathy, stacks.bathy_grid,
+                                           lon, lat)
 
     u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
     alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v)
@@ -148,17 +161,19 @@ def rhs(pack: F.FieldPack, cfg: Namelist, t, y: State, params: SeedParams
     return State(dlon, dlat, dvdt, dmdt), wnds
 
 
-def ventilation_index_reject(pack: F.FieldPack, cfg: Namelist,
+def ventilation_index_reject(stacks: F.GatherStacks, cfg: Namelist,
                              y0: State, params: SeedParams):
     """Genesis gate: reject when S * chi / v_pot >= 1 at t=0 with v_pot > 0
     (coupled_fast.py:237-244).  Returns a boolean keep-mask [N]."""
     # note: the reference samples winds directly (no polar zeroing) here
-    wnds = sample_env_winds(pack, cfg, y0.lon, y0.lat, params.plane,
-                            params.fourier, jnp.asarray(0.0))
+    cell = interp.bilinear(stacks.cell, stacks.grid, y0.lon, y0.lat,
+                           params.plane)
+    env = cell[:, stacks.n_wind_ch:]
+    wnds = color_winds(cfg, cell[:, :stacks.n_wind_ch], params.fourier,
+                       jnp.asarray(0.0))
     S = shear_magnitude(cfg, wnds)
-    env = interp.bilinear(pack.env, pack.grid, y0.lon, y0.lat, params.plane)
-    land_val = interp.bilinear_scalar(pack.land, pack.land_grid,
-                                      y0.lon, y0.lat)
+    land_val = interp.bilinear(stacks.land_geo, stacks.land_grid,
+                               y0.lon, y0.lat)[:, 0]
     v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
     vent = S * env[:, F.CHI] / v_pot
     return ~((v_pot > 0) & (vent >= 1.0))

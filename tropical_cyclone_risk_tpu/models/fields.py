@@ -59,6 +59,41 @@ class FieldPack(NamedTuple):
         raise ValueError(f'bad wind channel count {w}')
 
 
+class GatherStacks(NamedTuple):
+    """Trace-time-fused gather sources derived from a FieldPack.
+
+    The integration RHS samples wind statistics and environment fields at
+    the same (lon, lat, plane) — fusing them into one channel stack turns
+    two 4-corner gathers into one.  land/bathy fuse the same way when they
+    share a grid (always true with the proxy bathymetry).
+    """
+    grid: 'UniformGrid'
+    cell: jnp.ndarray          # [P, nlat, nlon, n_wind_ch + N_ENV]
+    n_wind_ch: int             # channels 0..n_wind_ch-1 are wind stats
+    land_grid: 'UniformGrid'
+    land_geo: jnp.ndarray      # [nlat_l, nlon_l, 1 or 2] (land[, bathy])
+    bathy_grid: 'UniformGrid'  # separate-bathy fallback (unused when fused)
+    bathy: jnp.ndarray
+
+    @property
+    def fused_geo(self) -> bool:
+        return self.land_geo.shape[-1] == 2
+
+
+def build_stacks(pack: FieldPack) -> GatherStacks:
+    """Build the fused gather stacks (cheap: one concatenate at trace time,
+    hoisted out of the integration loop)."""
+    cell = jnp.concatenate([pack.wind, pack.env], axis=-1)
+    if pack.land_grid == pack.bathy_grid:
+        land_geo = jnp.stack([pack.land, pack.bathy], axis=-1)
+    else:
+        land_geo = pack.land[..., None]
+    return GatherStacks(grid=pack.grid, cell=cell,
+                        n_wind_ch=pack.wind.shape[-1],
+                        land_grid=pack.land_grid, land_geo=land_geo,
+                        bathy_grid=pack.bathy_grid, bathy=pack.bathy)
+
+
 def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:
     """The chi fudge applied when loading monthly fields
     (util/compute.py:112-115): NaN -> 5, then

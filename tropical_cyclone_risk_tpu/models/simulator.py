@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.models import fast
+from tropical_cyclone_risk_tpu.models import fields as fields_mod
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
 from tropical_cyclone_risk_tpu.utils import basins
 
@@ -73,10 +74,11 @@ def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
     sub = max(1, int(cfg.rk_substeps))
     dt = dt_out / sub
 
-    rhs_fn = lambda t, y: fast.rhs(pack, cfg, t, y, params)
+    stacks = fields_mod.build_stacks(pack)
+    rhs_fn = lambda t, y: fast.rhs(stacks, cfg, t, y, params)
 
     # genesis gates evaluated with the track's own Fourier draws
-    keep = fast.ventilation_index_reject(pack, cfg, y0, params)
+    keep = fast.ventilation_index_reject(stacks, cfg, y0, params)
     alive0 = integrate_mask & keep
 
     def step(carry, k):

@@ -181,3 +181,18 @@ def generate_entropy_table(pmin_hPa=25.0, pmax_hPa=1050.0, nprs=200,
     P, S = jnp.meshgrid(p_look, s_look, indexing='ij')
     T = invert_entropy_newton(P, S, 0.0, select_thermo, use_pog=use_pog)
     return p_look, s_look, T
+
+
+def gpi(PI, chi, vort, S):
+    """Genesis potential index (thermo/thermo.py:415-419; kept for API parity
+    — the reference pipeline never calls it).  PI thresholded at 35 m/s."""
+    PI_abs = jnp.maximum(PI - 35.0, 0.0)
+    return jnp.abs(vort) ** 3 * chi ** (-4.0 / 3.0) * PI_abs ** 2 \
+        / (S + 25.0) ** 4
+
+
+def gpi_en04(PI, rh, vort, S):
+    """Emanuel (2004) genesis potential index (thermo/thermo.py:421-425;
+    API parity, uncalled in the reference pipeline)."""
+    return (1e5 * jnp.abs(vort)) ** (rh / 50.0) ** 3 * (PI / 70.0) ** 3 \
+        / (1.0 + 0.1 * S) ** 2
