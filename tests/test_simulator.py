@@ -226,3 +226,19 @@ def test_count_seeds_per_month_cutoff():
     assert full.sum() == 4
     cut = seeding.count_seeds_per_month(basin_idx, month, counted, 7, upto=2)
     assert cut.sum() == 2 and cut[0, 0] == 1 and cut[0, 1] == 1
+
+
+def test_debug_fixed_position():
+    """cfg.debug_fixed_position freezes storm motion (the reference's
+    Coupled_FAST.debug mode, intensity/coupled_fast.py:204-205)."""
+    pack, params, y0 = _setup_batch()
+    cfg_dbg = CFG.replace(debug_fixed_position=True)
+    out = simulator.integrate(pack, cfg_dbg, 'GL', y0, params,
+                              jnp.ones(4, bool))
+    lon = np.asarray(out.lon)
+    alive = np.asarray(out.alive)
+    for s in range(4):
+        np.testing.assert_array_equal(lon[s][alive[s]], lon[s][0])
+    # intensity still evolves
+    v = np.asarray(out.v)
+    assert np.nanstd(v[alive]) > 0.5

@@ -130,6 +130,9 @@ class Namelist:
     seed_batch: int = 8192            # seeds proposed per on-device batch
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
+    # freeze storm positions (intensity-only integration) — the reference's
+    # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
+    debug_fixed_position: bool = False
 
     # -------------------- derived helpers --------------------
     @property

@@ -158,6 +158,10 @@ def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
     rad = 180.0 / jnp.pi / constants.earth_R
     dlon = u_bam * rad / w_lat
     dlat = v_bam * rad
+    if cfg.debug_fixed_position:
+        # intensity-only integration (coupled_fast.py:204-205)
+        dlon = jnp.zeros_like(dlon)
+        dlat = jnp.zeros_like(dlat)
     return State(dlon, dlat, dvdt, dmdt), wnds
 
 

@@ -21,6 +21,7 @@ from tropical_cyclone_risk_tpu.io import netcdf
 from tropical_cyclone_risk_tpu.models import pipeline
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
 from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+from tropical_cyclone_risk_tpu.utils import obs
 
 
 def get_fn_tracks(cfg: Namelist, basin_id: str) -> str:
@@ -81,21 +82,34 @@ def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
 
 def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                     key: Optional[jax.Array] = None,
-                    n_years: Optional[int] = None) -> str:
+                    n_years: Optional[int] = None,
+                    trace_dir: Optional[str] = None) -> str:
     """Simulate every configured year and write the tracks file
-    (util/compute.py:216-270).  Returns the written path."""
+    (util/compute.py:216-270).  Returns the written path.
+
+    trace_dir: write a jax.profiler timeline of the simulation phase."""
     basin_id = basins_mod.validate_basin_id(cfg, basin_id)
     if key is None:
         key = jax.random.key(int(time.time_ns() % (2 ** 31)))
     years = cfg.years()[:n_years] if n_years else cfg.years()
     t0 = time.time()
+    metrics = obs.Metrics()
     results = []
-    for yi, year in enumerate(years):
-        ykey = jax.random.fold_in(key, year)
-        results.append(pipeline.run_tracks_year(ykey, pack, cfg, basin_id, yi))
-        print(f'[tc-risk-tpu] year {year}: {results[-1].lon.shape[0]} tracks, '
-              f'{int(results[-1].n_seeds.sum())} seeds, '
-              f'{time.time() - t0:.1f}s elapsed')
+    with obs.maybe_profile(trace_dir):
+        for yi, year in enumerate(years):
+            ykey = jax.random.fold_in(key, year)
+            with obs.phase(f'year {year}', metrics):
+                results.append(pipeline.run_tracks_year(ykey, pack, cfg,
+                                                        basin_id, yi))
+            metrics.count('tracks', results[-1].lon.shape[0])
+            metrics.count('seeds', float(results[-1].n_seeds.sum()))
+            metrics.time('simulate', metrics.timings.pop(f'year {year}'))
+            obs.log.info('year %d: %d tracks, %d seeds, %.1f s elapsed',
+                         year, results[-1].lon.shape[0],
+                         int(results[-1].n_seeds.sum()), time.time() - t0)
+    obs.log.info('throughput: %.0f seeds/s, %.2f tracks/s',
+                 metrics.rate('seeds', 'simulate'),
+                 metrics.rate('tracks', 'simulate'))
     out = pipeline.concat_years(results, cfg)
 
     os.makedirs('%s/%s' % (cfg.output_directory, cfg.exp_name), exist_ok=True)
@@ -107,5 +121,5 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
         json.dump({k: v for k, v in cfg.__dict__.items()
                    if isinstance(v, (int, float, str, bool, tuple, list))},
                   f, indent=1, default=str)
-    print('Saved %s (%.1f s)' % (fn, time.time() - t0))
+    obs.log.info('Saved %s (%.1f s)', fn, time.time() - t0)
     return fn
