@@ -59,3 +59,17 @@ def test_mesh_size_validation():
     mesh = sharding.make_mesh(8)
     with pytest.raises(ValueError, match='divisible'):
         sharding._build_sharded_batch(mesh, CFG, 'GL', 255, 4)
+
+
+def test_run_tracks_year_on_mesh():
+    """The production quota loop on a device mesh (pipeline mesh path)."""
+    from tropical_cyclone_risk_tpu.models import pipeline
+    mesh = sharding.make_mesh(8)
+    cfg = CFG.replace(seed_batch=512, tracks_per_year=2)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    pack = sharding.replicate_pack(pack, mesh)
+    yt = pipeline.run_tracks_year(jax.random.key(5), pack, cfg, 'GL', 0,
+                                  mesh=mesh)
+    assert yt.lon.shape[0] == 2
+    assert yt.n_seeds.sum() > 0
+    assert np.all(np.isfinite(yt.lon[:, 0]))

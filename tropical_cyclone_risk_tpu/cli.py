@@ -42,6 +42,9 @@ def main(argv=None) -> int:
                     help='path to a reference-style namelist.py to load')
     ap.add_argument('--n-years', type=int, default=None,
                     help='limit the number of simulated years')
+    ap.add_argument('--devices', type=int, default=None,
+                    help='shard seed batches over this many devices '
+                         '(default: single device)')
     args = ap.parse_args(argv)
 
     cfg = load_namelist_py(args.namelist) if args.namelist else Namelist()
@@ -54,7 +57,13 @@ def main(argv=None) -> int:
     compute_downscaling_inputs(cfg)
 
     pack = pack_builder.build_field_pack(cfg, args.basin)
-    runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years)
+    mesh = None
+    if args.devices and args.devices > 1:
+        from tropical_cyclone_risk_tpu.parallel import sharding
+        mesh = sharding.make_mesh(args.devices)
+        pack = sharding.replicate_pack(pack, mesh)
+    runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years,
+                            mesh=mesh)
     return 0
 
 

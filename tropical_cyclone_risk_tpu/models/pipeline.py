@@ -85,9 +85,12 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
 def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                     basin_id: str, year_idx: int,
                     n_tracks: Optional[int] = None,
-                    max_batches: int = 200) -> YearTracks:
+                    max_batches: int = 200, mesh=None) -> YearTracks:
     """Generate the year's track quota (reference run_tracks,
-    util/compute.py:64-210)."""
+    util/compute.py:64-210).
+
+    mesh: optional jax.sharding.Mesh — shards each seed batch over the
+    device mesh (parallel.sharding) instead of one-device launches."""
     n_tracks = n_tracks or cfg.tracks_per_year
     n_basins = len(cfg.basin_ids_sorted())
     N = cfg.seed_batch
@@ -101,8 +104,14 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     got = 0
     for b_i in range(max_batches):
         bkey = jax.random.fold_in(key, b_i)
-        tracks, meta = _simulate_batch(bkey, pack, cfg, basin_id, N, k_max,
-                                       jnp.int32(year_idx * 12))
+        if mesh is not None:
+            from tropical_cyclone_risk_tpu.parallel import sharding
+            tracks, meta = sharding.simulate_batch_sharded(
+                mesh, bkey, pack, cfg, basin_id, N, k_max,
+                jnp.int32(year_idx * 12))
+        else:
+            tracks, meta = _simulate_batch(bkey, pack, cfg, basin_id, N,
+                                           k_max, jnp.int32(year_idx * 12))
         keep = np.asarray(meta['keep'])
         meta_counted.append(np.asarray(meta['counted']))
         meta_basin.append(np.asarray(meta['basin_idx']))

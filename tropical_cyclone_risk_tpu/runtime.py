@@ -83,11 +83,14 @@ def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
 def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                     key: Optional[jax.Array] = None,
                     n_years: Optional[int] = None,
-                    trace_dir: Optional[str] = None) -> str:
+                    trace_dir: Optional[str] = None, mesh=None) -> str:
     """Simulate every configured year and write the tracks file
     (util/compute.py:216-270).  Returns the written path.
 
-    trace_dir: write a jax.profiler timeline of the simulation phase."""
+    trace_dir: write a jax.profiler timeline of the simulation phase.
+    mesh: optional device mesh; shards every seed batch over it
+    (parallel.sharding replaces the reference's per-year process pool,
+    util/compute.py:223-230)."""
     basin_id = basins_mod.validate_basin_id(cfg, basin_id)
     if key is None:
         key = jax.random.key(int(time.time_ns() % (2 ** 31)))
@@ -100,7 +103,8 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
             ykey = jax.random.fold_in(key, year)
             with obs.phase(f'year {year}', metrics):
                 results.append(pipeline.run_tracks_year(ykey, pack, cfg,
-                                                        basin_id, yi))
+                                                        basin_id, yi,
+                                                        mesh=mesh))
             metrics.count('tracks', results[-1].lon.shape[0])
             metrics.count('seeds', float(results[-1].n_seeds.sum()))
             metrics.time('simulate', metrics.timings.pop(f'year {year}'))
