@@ -113,7 +113,8 @@ def test_integrate_matches_solve_ivp():
     on the identical RHS: the step-size-sufficiency check demanded by
     SURVEY.md section 7 (the reference allows max_step=86400 s)."""
     pack, params, y0 = _setup_batch(n=2)
-    out = simulator.integrate(pack, CFG, 'GL', y0, params,
+    cfg_exact = CFG.replace(rk_exact_stage_fields=True)
+    out = simulator.integrate(pack, cfg_exact, 'GL', y0, params,
                               jnp.ones(2, bool))
 
     stacks = fields.build_stacks(pack)
@@ -142,6 +143,23 @@ def test_integrate_matches_solve_ivp():
                                    ref[2, s, m], atol=0.6)
         np.testing.assert_allclose(np.asarray(out.m)[s][m],
                                    ref[3, s, m], atol=0.02)
+
+
+def test_frozen_field_step_accuracy():
+    """Default once-per-step field sampling vs exact per-stage sampling:
+    trajectories agree far inside physical noise over the full 15 days."""
+    pack, params, y0 = _setup_batch(n=4)
+    out_frozen = simulator.integrate(pack, CFG, 'GL', y0, params,
+                                     jnp.ones(4, bool))
+    out_exact = simulator.integrate(pack, CFG.replace(
+        rk_exact_stage_fields=True), 'GL', y0, params, jnp.ones(4, bool))
+    both = np.asarray(out_frozen.alive) & np.asarray(out_exact.alive)
+    d_lon = np.abs(np.asarray(out_frozen.lon) - np.asarray(out_exact.lon))
+    d_v = np.abs(np.asarray(out_frozen.v) - np.asarray(out_exact.v))
+    # tight agreement over the first 5 days; slow chaotic divergence after
+    assert np.nanmax(d_lon[:, :120][both[:, :120]]) < 0.05
+    assert np.nanmax(d_lon[both]) < 0.3        # < 30 km over 15 days
+    assert np.nanmax(d_v[both]) < 1.0
 
 
 def test_track_dies_over_cold_water():

@@ -111,17 +111,39 @@ def ocean_alpha(cfg: Namelist, env, land_val, bathy_val, u_T, v):
     return jnp.where(no_mixing, 1.0, 1.0 - 0.87 * fac), v_pot
 
 
-def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
-        params: SeedParams) -> Tuple[State, jnp.ndarray]:
-    """Full coupled tendency (coupled_fast.py:196-207) for the batch.
+class FieldSample(NamedTuple):
+    """Per-seed field values gathered at one position: the expensive random
+    access separated from the cheap per-RK-stage dynamics so the integrator
+    can sample once per output step (fields vary on ~100 km scales; a storm
+    moves ~20 km/h, so per-stage re-gathering changes nothing physical)."""
+    wind_stats: jnp.ndarray   # [N, W + W(W+1)/2]
+    env: jnp.ndarray          # [N, N_ENV]
+    land: jnp.ndarray         # [N]
+    bathy: jnp.ndarray        # [N]
 
-    stacks: fused gather sources (fields.build_stacks).  Returns (dy/dt as a
-    State of tendencies, sampled winds [N, W])."""
+
+def sample_fields(stacks: F.GatherStacks, lon, lat, plane) -> FieldSample:
+    """All field gathers for one batch position (the hot memory op)."""
+    cell = interp.bilinear(stacks.cell, stacks.grid, lon, lat, plane)
+    geo = interp.bilinear(stacks.land_geo, stacks.land_grid, lon, lat)
+    if stacks.fused_geo:
+        bathy = geo[:, 1]
+    else:
+        bathy = interp.bilinear_scalar(stacks.bathy, stacks.bathy_grid,
+                                       lon, lat)
+    return FieldSample(cell[:, :stacks.n_wind_ch],
+                       cell[:, stacks.n_wind_ch:], geo[:, 0], bathy)
+
+
+def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
+                    smp: FieldSample) -> Tuple[State, jnp.ndarray]:
+    """Coupled tendency (coupled_fast.py:196-207) given gathered fields."""
     lon, lat, v, m = y
+    env = smp.env
+    land_val = smp.land
+    bathy_val = smp.bathy
 
-    cell = interp.bilinear(stacks.cell, stacks.grid, lon, lat, params.plane)
-    env = cell[:, stacks.n_wind_ch:]
-    wnds = color_winds(cfg, cell[:, :stacks.n_wind_ch], params.fourier, t)
+    wnds = color_winds(cfg, smp.wind_stats, params.fourier, t)
     # hard stop poleward of 80 deg (track/bam_track.py:131-135)
     polar = jnp.abs(lat) >= 80.0
     wnds = jnp.where(polar[:, None], 0.0, wnds)
@@ -133,14 +155,6 @@ def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
     u_bam = jnp.where(polar, 0.0, u_steer + cfg.u_beta * w_lat)
     v_bam = jnp.where(polar, 0.0,
                       v_steer + jnp.sign(lat) * cfg.v_beta * w_lat)
-
-    geo = interp.bilinear(stacks.land_geo, stacks.land_grid, lon, lat)
-    land_val = geo[:, 0]
-    if stacks.fused_geo:
-        bathy_val = geo[:, 1]
-    else:
-        bathy_val = interp.bilinear_scalar(stacks.bathy, stacks.bathy_grid,
-                                           lon, lat)
 
     u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
     alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v)
@@ -163,6 +177,14 @@ def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
         dlon = jnp.zeros_like(dlon)
         dlat = jnp.zeros_like(dlat)
     return State(dlon, dlat, dvdt, dmdt), wnds
+
+
+def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
+        params: SeedParams) -> Tuple[State, jnp.ndarray]:
+    """Full coupled tendency: gather at y's position, then dynamics.
+    Returns (dy/dt as a State of tendencies, sampled winds [N, W])."""
+    smp = sample_fields(stacks, y.lon, y.lat, params.plane)
+    return rhs_from_sample(cfg, t, y, params, smp)
 
 
 def ventilation_index_reject(stacks: F.GatherStacks, cfg: Namelist,

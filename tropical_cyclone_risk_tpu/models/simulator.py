@@ -59,6 +59,14 @@ def _rk4_step(rhs_fn, t, y: fast.State, dt):
     return y1, wnds
 
 
+def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt):
+    """RK4 step with one field gather at the step-start position (the
+    gather-bound default; see Namelist.rk_exact_stage_fields)."""
+    smp = fast.sample_fields(stacks, y.lon, y.lat, params.plane)
+    rhs_fn = lambda tt, yy: fast.rhs_from_sample(cfg, tt, yy, params, smp)
+    return _rk4_step(rhs_fn, t, y, dt)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'basin_id'))
 def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
               y0: fast.State, params: fast.SeedParams,
@@ -75,7 +83,12 @@ def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
     dt = dt_out / sub
 
     stacks = fields_mod.build_stacks(pack)
-    rhs_fn = lambda t, y: fast.rhs(stacks, cfg, t, y, params)
+    if cfg.rk_exact_stage_fields:
+        step_fn = lambda t, y, h: _rk4_step(
+            lambda tt, yy: fast.rhs(stacks, cfg, tt, yy, params), t, y, h)
+    else:
+        step_fn = lambda t, y, h: _rk4_step_frozen_fields(
+            stacks, cfg, params, t, y, h)
 
     # genesis gates evaluated with the track's own Fourier draws
     keep = fast.ventilation_index_reject(stacks, cfg, y0, params)
@@ -88,7 +101,7 @@ def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
         y1 = y
         wnds0 = None
         for s in range(sub):
-            y_next, wnds = _rk4_step(rhs_fn, t + s * dt, y1, dt)
+            y_next, wnds = step_fn(t + s * dt, y1, dt)
             if s == 0:
                 wnds0 = wnds
             y1 = fast.State(*(jnp.where(alive, a, b)
