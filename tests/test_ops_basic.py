@@ -121,3 +121,18 @@ def test_regrid_identity():
     field = rng.normal(size=(lat.size, lon.size)).astype(np.float32)
     out = np.asarray(interp.regrid(field, lon, lat, lon, lat))
     np.testing.assert_allclose(out, field, rtol=1e-5, atol=1e-6)
+
+
+def test_nearest_psd():
+    from tropical_cyclone_risk_tpu.ops import chol
+    rng = np.random.default_rng(2)
+    M = rng.normal(size=(5, 4, 4))
+    sym = 0.5 * (M + np.swapaxes(M, -1, -2))        # indefinite
+    fixed = np.asarray(chol.nearest_psd(jnp.asarray(sym)))
+    w = np.linalg.eigvalsh(fixed)
+    # float32 reconstruction: eigenvalues nonnegative up to roundoff
+    assert np.all(w >= -1e-5 * np.abs(w).max())
+    # already-PSD matrices pass through unchanged
+    psd = M @ np.swapaxes(M, -1, -2) + 0.1 * np.eye(4)
+    out = np.asarray(chol.nearest_psd(jnp.asarray(psd)))
+    np.testing.assert_allclose(out, psd, rtol=1e-4, atol=1e-5)

@@ -66,3 +66,14 @@ def lower_tri_to_full(tri: jnp.ndarray, n: int) -> jnp.ndarray:
                 for j in range(n)]
         rows.append(jnp.stack(cols, axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+def nearest_psd(cov: jnp.ndarray, jitter: float = 1e-8) -> jnp.ndarray:
+    """Project symmetric [..., n, n] matrices onto the PSD cone by
+    eigenvalue clipping (reference nearestPD, util/mat.py:185-223 — there a
+    Higham-style iterative repair with no callers; here the direct spectral
+    projection, available as an alternative to the zero-winds fallback)."""
+    sym = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    w, v = jnp.linalg.eigh(sym)
+    w = jnp.maximum(w, jitter)
+    return jnp.einsum('...ij,...j,...kj->...ik', v, w, v)
