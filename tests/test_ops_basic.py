@@ -136,3 +136,24 @@ def test_nearest_psd():
     psd = M @ np.swapaxes(M, -1, -2) + 0.1 * np.eye(4)
     out = np.asarray(chol.nearest_psd(jnp.asarray(psd)))
     np.testing.assert_allclose(out, psd, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_packed_matches_bilinear():
+    from tropical_cyclone_risk_tpu.ops import interp
+    rng = np.random.default_rng(5)
+    field = jnp.asarray(rng.normal(size=(3, 19, 36, 7)).astype(np.float32))
+    grid = interp.UniformGrid(0.0, 10.0, 36, -90.0, 10.0, 19)
+    lon = jnp.asarray(rng.uniform(-20, 380, 500), jnp.float32)  # incl. edges
+    lat = jnp.asarray(rng.uniform(-100, 100, 500), jnp.float32)
+    plane = jnp.asarray(rng.integers(0, 3, 500), jnp.int32)
+    want = interp.bilinear(field, grid, lon, lat, plane)
+    got = interp.bilinear_packed(interp.pack_corners(field), grid,
+                                 lon, lat, plane)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # unstacked variant
+    want2 = interp.bilinear(field[1], grid, lon, lat)
+    got2 = interp.bilinear_packed(interp.pack_corners(field[1]), grid,
+                                  lon, lat)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)

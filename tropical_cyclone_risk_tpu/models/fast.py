@@ -123,14 +123,16 @@ class FieldSample(NamedTuple):
 
 
 def sample_fields(stacks: F.GatherStacks, lon, lat, plane) -> FieldSample:
-    """All field gathers for one batch position (the hot memory op)."""
-    cell = interp.bilinear(stacks.cell, stacks.grid, lon, lat, plane)
-    geo = interp.bilinear(stacks.land_geo, stacks.land_grid, lon, lat)
+    """All field gathers for one batch position (the hot memory op):
+    two corner-packed gather rows per seed."""
+    cell = interp.bilinear_packed(stacks.cell4, stacks.grid, lon, lat, plane)
+    geo = interp.bilinear_packed(stacks.land_geo4, stacks.land_grid,
+                                 lon, lat)
     if stacks.fused_geo:
         bathy = geo[:, 1]
     else:
-        bathy = interp.bilinear_scalar(stacks.bathy, stacks.bathy_grid,
-                                       lon, lat)
+        bathy = interp.bilinear_packed(stacks.bathy4, stacks.bathy_grid,
+                                       lon, lat)[:, 0]
     return FieldSample(cell[:, :stacks.n_wind_ch],
                        cell[:, stacks.n_wind_ch:], geo[:, 0], bathy)
 
@@ -192,14 +194,9 @@ def ventilation_index_reject(stacks: F.GatherStacks, cfg: Namelist,
     """Genesis gate: reject when S * chi / v_pot >= 1 at t=0 with v_pot > 0
     (coupled_fast.py:237-244).  Returns a boolean keep-mask [N]."""
     # note: the reference samples winds directly (no polar zeroing) here
-    cell = interp.bilinear(stacks.cell, stacks.grid, y0.lon, y0.lat,
-                           params.plane)
-    env = cell[:, stacks.n_wind_ch:]
-    wnds = color_winds(cfg, cell[:, :stacks.n_wind_ch], params.fourier,
-                       jnp.asarray(0.0))
+    smp = sample_fields(stacks, y0.lon, y0.lat, params.plane)
+    wnds = color_winds(cfg, smp.wind_stats, params.fourier, jnp.asarray(0.0))
     S = shear_magnitude(cfg, wnds)
-    land_val = interp.bilinear(stacks.land_geo, stacks.land_grid,
-                               y0.lon, y0.lat)[:, 0]
-    v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
-    vent = S * env[:, F.CHI] / v_pot
+    v_pot = jnp.where(_is_land(smp.land), 0.0, smp.env[:, F.VPOT])
+    vent = S * smp.env[:, F.CHI] / v_pot
     return ~((v_pot > 0) & (vent >= 1.0))

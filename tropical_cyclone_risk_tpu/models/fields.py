@@ -60,38 +60,45 @@ class FieldPack(NamedTuple):
 
 
 class GatherStacks(NamedTuple):
-    """Trace-time-fused gather sources derived from a FieldPack.
+    """Trace-time-fused, corner-packed gather sources from a FieldPack.
 
     The integration RHS samples wind statistics and environment fields at
     the same (lon, lat, plane) — fusing them into one channel stack turns
-    two 4-corner gathers into one.  land/bathy fuse the same way when they
-    share a grid (always true with the proxy bathymetry).
+    two 4-corner gathers into one, and corner-packing (ops.interp.
+    pack_corners) turns the four corner rows of each bilinear lookup into a
+    single gathered row: the TPU XLA gather is row-rate-bound, so this is
+    the difference between 8+ gather rows and 2 per seed per step.
+    land/bathy fuse the same way when they share a grid (always true with
+    the proxy bathymetry).
     """
     grid: 'UniformGrid'
-    cell: jnp.ndarray          # [P, nlat, nlon, n_wind_ch + N_ENV]
+    cell4: jnp.ndarray         # [P, nlat, nlon, 4*(n_wind_ch + N_ENV)]
     n_wind_ch: int             # channels 0..n_wind_ch-1 are wind stats
     land_grid: 'UniformGrid'
-    land_geo: jnp.ndarray      # [nlat_l, nlon_l, 1 or 2] (land[, bathy])
+    land_geo4: jnp.ndarray     # [nlat_l, nlon_l, 4*(1 or 2)] (land[, bathy])
     bathy_grid: 'UniformGrid'  # separate-bathy fallback (unused when fused)
-    bathy: jnp.ndarray
+    bathy4: jnp.ndarray
 
     @property
     def fused_geo(self) -> bool:
-        return self.land_geo.shape[-1] == 2
+        return self.land_geo4.shape[-1] == 8
 
 
 def build_stacks(pack: FieldPack) -> GatherStacks:
-    """Build the fused gather stacks (cheap: one concatenate at trace time,
-    hoisted out of the integration loop)."""
+    """Build the fused gather stacks (one concatenate + corner pack at trace
+    time, hoisted out of the integration loop)."""
+    from tropical_cyclone_risk_tpu.ops.interp import pack_corners
     cell = jnp.concatenate([pack.wind, pack.env], axis=-1)
     if pack.land_grid == pack.bathy_grid:
         land_geo = jnp.stack([pack.land, pack.bathy], axis=-1)
     else:
         land_geo = pack.land[..., None]
-    return GatherStacks(grid=pack.grid, cell=cell,
+    return GatherStacks(grid=pack.grid, cell4=pack_corners(cell),
                         n_wind_ch=pack.wind.shape[-1],
-                        land_grid=pack.land_grid, land_geo=land_geo,
-                        bathy_grid=pack.bathy_grid, bathy=pack.bathy)
+                        land_grid=pack.land_grid,
+                        land_geo4=pack_corners(land_geo),
+                        bathy_grid=pack.bathy_grid,
+                        bathy4=pack_corners(pack.bathy[..., None]))
 
 
 def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:

@@ -121,3 +121,51 @@ def regrid(field, src_lon, src_lat, dst_lon, dst_lat):
     qlon, qlat = jnp.meshgrid(dst_lon, dst_lat)
     vals = bilinear_scalar(jnp.asarray(field), grid, qlon.ravel(), qlat.ravel())
     return vals.reshape(dst_lat.size, dst_lon.size)
+
+
+def pack_corners(field):
+    """Pre-pack the four bilinear corner cells into the channel axis.
+
+    field [..., nlat, nlon, C] -> [..., nlat, nlon, 4*C] where channels are
+    (c00, c01, c10, c11) = (y,x), (y,x+1), (y+1,x), (y+1,x+1), edge-clamped.
+    The TPU XLA gather is row-rate-bound (measured ~33 ns/row regardless of
+    width), so fetching one 4C-wide row per query beats four C-wide rows by
+    ~4x at the cost of 4x memory on this derived stack.
+    """
+    shift_x = jnp.concatenate([field[..., 1:, :], field[..., -1:, :]],
+                              axis=-2)
+    shift_y = jnp.concatenate([field[..., 1:, :, :], field[..., -1:, :, :]],
+                              axis=-3)
+    shift_xy = jnp.concatenate([shift_y[..., 1:, :], shift_y[..., -1:, :]],
+                               axis=-2)
+    return jnp.concatenate([field, shift_x, shift_y, shift_xy], axis=-1)
+
+
+def bilinear_packed(field4, grid: UniformGrid, lon, lat,
+                    plane_idx: Optional[jnp.ndarray] = None):
+    """Bilinear interpolation from a corner-packed stack (pack_corners).
+
+    field4: [nlat, nlon, 4C] or [P, nlat, nlon, 4C]; returns [N, C].
+    Numerically identical to :func:`bilinear` on the unpacked field.
+    """
+    ix, wx = _cell_and_weight(lon, grid.lon0, grid.dlon, grid.nlon)
+    iy, wy = _cell_and_weight(lat, grid.lat0, grid.dlat, grid.nlat)
+    C4 = field4.shape[-1]
+    C = C4 // 4
+    if field4.ndim == 3:
+        flat = field4.reshape(grid.nlat * grid.nlon, C4)
+        base = iy * grid.nlon + ix
+    else:
+        if plane_idx is None:
+            raise ValueError('plane_idx required for a stacked field')
+        flat = field4.reshape(field4.shape[0] * grid.nlat * grid.nlon, C4)
+        base = (plane_idx.astype(jnp.int32) * grid.nlat + iy) * grid.nlon + ix
+    row = jnp.take(flat, base, axis=0)
+    c00 = row[:, 0 * C:1 * C]
+    c01 = row[:, 1 * C:2 * C]
+    c10 = row[:, 2 * C:3 * C]
+    c11 = row[:, 3 * C:4 * C]
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return ((1 - wy) * ((1 - wx) * c00 + wx * c01) +
+            wy * ((1 - wx) * c10 + wx * c11))
