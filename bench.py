@@ -30,7 +30,7 @@ NORTH_STAR_PER_MIN = 100_000.0
 
 
 def main():
-    n_seeds = 16384
+    n_seeds = 131072
     cfg = Namelist().replace(seed_batch=n_seeds)
     pack = synthetic_pack(cfg, n_planes=12, nlat=181, nlon=360, seed=0)
     pack = jax.device_put(pack)
