@@ -54,3 +54,35 @@ def test_read_reference_hdf5_mld():
     ds = netcdf.read(f'{REF_DATA}/mld_climatology.nc')
     assert ds['mixed_layer'].data.shape == (180, 361, 12)
     assert ds['mixed_layer'].dims == ('lat', 'lon', 'month')
+
+
+def test_packed_int_fill_value_decoding(tmp_path):
+    """ERA5 CDS files pack variables as int16 with scale/offset and a fill
+    sentinel; fill cells must decode to NaN, not a plausible value."""
+    from scipy.io import netcdf_file
+    fn = str(tmp_path / 'packed.nc')
+    raw = np.array([[0, 100, -32767]], np.int16)     # last cell = fill
+    with netcdf_file(fn, 'w') as f:
+        f.createDimension('y', 1)
+        f.createDimension('x', 3)
+        v = f.createVariable('sst', np.int16, ('y', 'x'))
+        v[:] = raw
+        v._FillValue = np.int16(-32767)
+        v.scale_factor = 0.01
+        v.add_offset = 300.0
+    ds = netcdf.read(fn)
+    got = ds['sst'].data
+    np.testing.assert_allclose(got[0, :2], [300.0, 301.0])
+    assert np.isnan(got[0, 2])
+
+
+def test_missing_value_decoding(tmp_path):
+    from scipy.io import netcdf_file
+    fn = str(tmp_path / 'mv.nc')
+    with netcdf_file(fn, 'w') as f:
+        f.createDimension('x', 2)
+        v = f.createVariable('t', np.float32, ('x',))
+        v[:] = np.array([280.0, -9999.0], np.float32)
+        v.missing_value = np.float32(-9999.0)
+    ds = netcdf.read(fn)
+    assert np.isnan(ds['t'].data[1]) and ds['t'].data[0] == 280.0

@@ -157,3 +157,25 @@ def test_bilinear_packed_matches_bilinear():
                                   lon, lat)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_vmax_finite_at_final_valid_sample():
+    """axi_to_max_wind must give a finite vmax at each track's last valid
+    sample (reference edge extrapolation, util/sphere.py:66-69), with NaN
+    only beyond death."""
+    from tropical_cyclone_risk_tpu.models import diagnostics
+    T = 20
+    lon = np.full((1, T), np.nan, np.float32)
+    lat = np.full((1, T), np.nan, np.float32)
+    v = np.full((1, T), np.nan, np.float32)
+    wnds = np.full((1, T, 4), np.nan, np.float32)
+    k = 7                                  # valid samples 0..7
+    lon[0, :k + 1] = 150.0 + 0.2 * np.arange(k + 1)
+    lat[0, :k + 1] = 15.0 + 0.1 * np.arange(k + 1)
+    v[0, :k + 1] = 20.0
+    wnds[0, :k + 1] = 3.0
+    vmax = np.asarray(diagnostics.axi_to_max_wind(
+        jnp.asarray(lon), jnp.asarray(lat), 3600.0,
+        jnp.asarray(v), jnp.asarray(wnds)))
+    assert np.all(np.isfinite(vmax[0, :k + 1]))
+    assert np.all(np.isnan(vmax[0, k + 1:]))

@@ -189,3 +189,24 @@ def level_axis_pa(cfg: Namelist, ds: netcdf.Dataset) -> np.ndarray:
     if units in ('millibars', 'hPa') or (units == '' and lvl.max() < 2000):
         return lvl * 100.0
     return lvl
+
+
+def normalize_latlon(lon: np.ndarray, lat: np.ndarray, *arrs,
+                     lat_axis: int, lon_axis: int):
+    """THE ingestion normalization: ascending latitude and ascending 0-360
+    longitude for every gridded array (the bilinear engine requires it;
+    reference equivalents: lat reindex at util/compute.py:80-84 and the
+    transform_lon rotation at util/basins.py:93-107).
+
+    Returns (lon, lat, [arrs...]).
+    """
+    arrs = list(arrs)
+    lat = np.asarray(lat, np.float64)
+    if lat.size > 1 and lat[0] > lat[-1]:
+        lat = lat[::-1].copy()
+        arrs = [np.flip(a, axis=lat_axis).copy() for a in arrs]
+    lon0360 = np.mod(np.asarray(lon, np.float64), 360.0)
+    order = np.argsort(lon0360, kind='stable')
+    if not np.array_equal(order, np.arange(order.size)):
+        arrs = [np.take(a, order, axis=lon_axis) for a in arrs]
+    return lon0360[order], lat, arrs

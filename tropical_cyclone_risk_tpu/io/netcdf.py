@@ -59,6 +59,33 @@ def _decode_attr(v):
     return v
 
 
+def _decode_cf_values(data: np.ndarray, fill, missing, sf, ao) -> np.ndarray:
+    """CF decoding: mask fill/missing (in RAW packed units, before scaling),
+    then apply scale_factor/add_offset.  Packed integer variables (ERA5 CDS
+    int16 + scale/offset is the norm) become float64 with NaN at fill —
+    matching xarray's behavior the reference relies on
+    (thermo/calc_thermo.py:41 nan_to_num over land SSTs)."""
+    mask = None
+    for sentinel in (fill, missing):
+        if sentinel is None:
+            continue
+        s = np.asarray(sentinel).ravel()[0]
+        m = (data == np.asarray(s, dtype=data.dtype)
+             if not np.issubdtype(data.dtype, np.floating)
+             else (data == s))
+        mask = m if mask is None else (mask | m)
+    if sf is not None or ao is not None or (
+            mask is not None and not np.issubdtype(data.dtype, np.floating)):
+        data = data.astype(np.float64)
+    if sf is not None:
+        data = data * np.asarray(sf).ravel()[0]
+    if ao is not None:
+        data = data + np.asarray(ao).ravel()[0]
+    if mask is not None and np.issubdtype(data.dtype, np.floating):
+        data = np.where(mask, np.nan, data)
+    return np.asarray(data)
+
+
 def _read_h5(path: str) -> Dataset:
     import h5py
 
@@ -88,21 +115,15 @@ def _read_h5(path: str) -> Dataset:
                                   'NAME', '_Netcdf4Dimid', '_Netcdf4Coordinates',
                                   '_FillValue')}
             data = obj[()]
-            if '_FillValue' in obj.attrs and np.issubdtype(
-                    np.asarray(data).dtype, np.floating):
-                fill = np.asarray(obj.attrs['_FillValue']).ravel()[0]
-                data = np.where(data == fill, np.nan, data)
-            # CF scale/offset decoding
-            sf = attrs.pop('scale_factor', None)
-            ao = attrs.pop('add_offset', None)
-            if sf is not None or ao is not None:
-                data = data.astype(np.float64)
-                if sf is not None:
-                    data = data * np.asarray(sf).ravel()[0]
-                if ao is not None:
-                    data = data + np.asarray(ao).ravel()[0]
+            fill = obj.attrs.get('_FillValue', None)
+            data = _decode_cf_values(
+                np.asarray(data),
+                np.asarray(fill).ravel()[0] if fill is not None else None,
+                attrs.pop('missing_value', None),
+                attrs.pop('scale_factor', None),
+                attrs.pop('add_offset', None))
             ds.variables[os.path.basename(name)] = Variable(
-                tuple(dims), np.asarray(data), attrs)
+                tuple(dims), data, attrs)
 
         f.visititems(visit)
     return ds
@@ -117,17 +138,10 @@ def _read_classic(path: str) -> Dataset:
         for name, var in f.variables.items():
             attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
             data = np.asarray(var[()]).copy()
-            fill = attrs.pop('_FillValue', None)
-            if fill is not None and np.issubdtype(data.dtype, np.floating):
-                data = np.where(data == fill, np.nan, data)
-            sf = attrs.pop('scale_factor', None)
-            ao = attrs.pop('add_offset', None)
-            if sf is not None or ao is not None:
-                data = data.astype(np.float64)
-                if sf is not None:
-                    data = data * sf
-                if ao is not None:
-                    data = data + ao
+            data = _decode_cf_values(data, attrs.pop('_FillValue', None),
+                                     attrs.pop('missing_value', None),
+                                     attrs.pop('scale_factor', None),
+                                     attrs.pop('add_offset', None))
             ds.variables[name] = Variable(tuple(var.dimensions), data, attrs)
     return ds
 

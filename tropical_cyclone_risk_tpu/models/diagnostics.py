@@ -13,14 +13,39 @@ from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.ops import sphere
 
 
+def _extrapolate_nan_tail(x):
+    """Replace the NaN tail of each track with linear extrapolation from the
+    last two valid samples (scan along time).  Reproduces the reference's
+    edge handling: its translational-speed centered difference linearly
+    extrapolates positions past the end of the (compact) valid window
+    (util/sphere.py:66-69), which our NaN-padded buffers would otherwise
+    turn into a NaN speed at each track's final valid sample."""
+    x_t = jnp.moveaxis(x, -1, 0)                      # [T, ...]
+
+    def fill(carry, xt):
+        prev, delta = carry
+        bad = jnp.isnan(xt)
+        cur = jnp.where(bad, prev + delta, xt)
+        new_delta = jnp.where(bad, delta, cur - prev)
+        return (cur, new_delta), cur
+
+    init = (x_t[0], jnp.zeros_like(x_t[0]))
+    _, filled = jax.lax.scan(fill, init, x_t)
+    return jnp.moveaxis(filled, 0, -1)
+
+
 def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds):
     """Maximum wind from azimuthal wind + translation + shear asymmetries.
 
     track_lon/lat/tc_v: [..., T]; env_wnds: [..., T, W] with channel order
-    (u250, v250, u850, v850).  NaN positions (dead samples) yield NaN vmax,
-    matching the reference's NaN-padded buffers.
+    (u250, v250, u850, v850).  NaN samples beyond a track's death yield NaN
+    vmax (NaN env_wnds propagate), matching the reference's NaN-padded
+    output buffers; the final valid sample gets the reference's edge
+    extrapolation rather than NaN.
     """
-    utran, vtran = sphere.translational_speed(track_lon, track_lat, dt_track)
+    utran, vtran = sphere.translational_speed(
+        _extrapolate_nan_tail(track_lon), _extrapolate_nan_tail(track_lat),
+        dt_track)
     G = jnp.minimum(1.0, 0.8 + 0.35 * (1.0 + jnp.tanh((track_lat - 35.0) / 10.0)))
     u_shr = env_wnds[..., 0] - env_wnds[..., 2]
     v_shr = env_wnds[..., 1] - env_wnds[..., 3]

@@ -48,16 +48,6 @@ class FieldPack(NamedTuple):
     def n_planes(self) -> int:
         return self.wind.shape[0]
 
-    @property
-    def n_wind(self) -> int:
-        """Number of wind components W (4 for two steering levels)."""
-        w = self.wind.shape[-1]
-        # solve W + W(W+1)/2 = w
-        for cand in (2, 4, 6, 8):
-            if cand + cand * (cand + 1) // 2 == w:
-                return cand
-        raise ValueError(f'bad wind channel count {w}')
-
 
 class GatherStacks(NamedTuple):
     """Trace-time-fused, corner-packed gather sources from a FieldPack.

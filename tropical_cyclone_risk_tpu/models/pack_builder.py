@@ -30,19 +30,6 @@ from tropical_cyclone_risk_tpu.preprocess import static, thermo_driver, winds
 from tropical_cyclone_risk_tpu.utils import basins as basins_mod
 
 
-def _normalize(lon, lat, *arrs, lat_axis: int, lon_axis: int):
-    """Ascending lat + ascending 0-360 lon for every array."""
-    arrs = list(arrs)
-    if lat[0] > lat[-1]:
-        lat = lat[::-1].copy()
-        arrs = [np.flip(a, axis=lat_axis).copy() for a in arrs]
-    lon0360 = np.mod(np.asarray(lon), 360.0)
-    order = np.argsort(lon0360, kind='stable')
-    lon_r = lon0360[order]
-    arrs = [np.take(a, order, axis=lon_axis) for a in arrs]
-    return lon_r, lat, arrs
-
-
 def _plane_index(cfg: Namelist, times: np.ndarray) -> np.ndarray:
     yy = tcin.year_of(times)
     mm = tcin.month_of(times)
@@ -58,14 +45,14 @@ def build_field_pack(cfg: Namelist, basin_id: str,
 
     # ---- wind statistics (defines the atmospheric grid) ----
     wind, w_lon, w_lat, w_times = winds.read_env_wnd(cfg, fn_wnd)
-    w_lon, w_lat, (wind,) = _normalize(w_lon, w_lat, wind,
-                                       lat_axis=1, lon_axis=2)
+    w_lon, w_lat, (wind,) = tcin.normalize_latlon(
+        w_lon, w_lat, wind, lat_axis=1, lon_axis=2)
     grid = interp.UniformGrid.from_axes(w_lon, w_lat)
 
     # ---- thermo fields ----
     vmax, chi_raw, rh, t_lon, t_lat, t_times = thermo_driver.read_thermo(
         fn_thermo)
-    t_lon, t_lat, (vmax, chi_raw, rh) = _normalize(
+    t_lon, t_lat, (vmax, chi_raw, rh) = tcin.normalize_latlon(
         t_lon, t_lat, vmax, chi_raw, rh, lat_axis=1, lon_axis=2)
 
     n_planes = cfg.n_months

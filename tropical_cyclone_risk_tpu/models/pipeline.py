@@ -44,14 +44,11 @@ class YearTracks:
     n_seeds: np.ndarray      # [n_basins, 12]
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
-def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
-                    n: int, k_max: int, plane_offset):
-    """One fused device launch: propose n seeds, integrate, filter, compact.
-
-    Returns per-slot metadata plus the first k_max surviving tracks
-    (slot-ordered).  This function is the throughput benchmark unit.
-    """
+def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
+                plane_offset):
+    """Propose n seeds, integrate, filter — the per-seed work of one launch.
+    Shared by the single-device and shard_map paths (parallel.sharding).
+    Returns a dict of per-slot [n, ...] arrays."""
     k_seed, k_fourier = jax.random.split(key)
     prop = seeding.propose_seeds(k_seed, pack, cfg, basin_id, n, plane_offset)
     fs = fourier.draw_fourier(k_fourier, (n, cfg.n_wind_levels),
@@ -65,21 +62,41 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
                                        float(cfg.output_interval_s),
                                        out.v, out.wnds)
     keep = is_tc & diagnostics.vmax_filter(cfg, vmax)
+    return {'keep': keep, 'counted': prop.counted, 'month': prop.month,
+            'basin_idx': prop.basin_idx, 'lon': out.lon, 'lat': out.lat,
+            'v': out.v, 'm': out.m, 'vmax': vmax, 'wnds': out.wnds}
 
-    # device-side compaction: survivors first, in slot order
+
+def compact_survivors(body: dict, n: int, k_max: int,
+                      constrain=lambda a: a):
+    """Survivors first in slot order, truncated to k_max; returns the
+    (tracks, meta) launch contract.  constrain: optional per-array sharding
+    constraint applied to the gathered tracks."""
     slot = jnp.arange(n)
-    order = jnp.argsort(jnp.where(keep, slot, slot + n))[:k_max]
-    gather = lambda a: jnp.take(a, order, axis=0)
+    order = jnp.argsort(jnp.where(body['keep'], slot, slot + n))[:k_max]
+    g = lambda a: constrain(jnp.take(a, order, axis=0))
     tracks = {
-        'lon': gather(out.lon), 'lat': gather(out.lat),
-        'v': gather(out.v), 'm': gather(out.m),
-        'vmax': gather(vmax), 'wnds': gather(out.wnds),
-        'month': gather(prop.month), 'basin_idx': gather(prop.basin_idx),
-        'valid': gather(keep),
+        'lon': g(body['lon']), 'lat': g(body['lat']),
+        'v': g(body['v']), 'm': g(body['m']),
+        'vmax': g(body['vmax']), 'wnds': g(body['wnds']),
+        'month': g(body['month']), 'basin_idx': g(body['basin_idx']),
+        'valid': g(body['keep']),
     }
-    meta = {'keep': keep, 'counted': prop.counted,
-            'basin_idx': prop.basin_idx, 'month': prop.month}
+    meta = {'keep': body['keep'], 'counted': body['counted'],
+            'basin_idx': body['basin_idx'], 'month': body['month']}
     return tracks, meta
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
+def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
+                    n: int, k_max: int, plane_offset):
+    """One fused device launch: propose n seeds, integrate, filter, compact.
+
+    Returns per-slot metadata plus the first k_max surviving tracks
+    (slot-ordered).  This function is the throughput benchmark unit.
+    """
+    body = launch_body(key, pack, cfg, basin_id, n, plane_offset)
+    return compact_survivors(body, n, k_max)
 
 
 def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,

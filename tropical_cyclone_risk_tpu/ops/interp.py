@@ -37,8 +37,8 @@ class UniformGrid(NamedTuple):
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
         if lat[1] < lat[0]:
-            raise ValueError('latitude axis must be ascending; flip the field '
-                             'at ingestion (see io.input.normalize_latlon)')
+            raise ValueError('latitude axis must be ascending; normalize at '
+                             'ingestion with io.input.normalize_latlon')
         dlon = float(lon[1] - lon[0])
         dlat = float(lat[1] - lat[0])
         if not (np.allclose(np.diff(lon), dlon, rtol=1e-4) and

@@ -23,9 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tropical_cyclone_risk_tpu.config import Namelist
-from tropical_cyclone_risk_tpu.models import diagnostics, fast, seeding, simulator
+from tropical_cyclone_risk_tpu.models import pipeline
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
-from tropical_cyclone_risk_tpu.ops import fourier
 
 SEED_AXIS = 'seeds'
 
@@ -64,22 +63,8 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
     def local_shard(key, plane_offset, pack: FieldPack):
         # decorrelate shards: fold the device index into the key
         d = jax.lax.axis_index(SEED_AXIS)
-        k_seed, k_fourier = jax.random.split(jax.random.fold_in(key, d))
-        prop = seeding.propose_seeds(k_seed, pack, cfg, basin_id, n_local,
-                                     plane_offset)
-        fs = fourier.draw_fourier(k_fourier, (n_local, cfg.n_wind_levels),
-                                  cfg.T_fourier_s)
-        params = fast.SeedParams(plane=prop.plane, h_bl=prop.h_bl, fourier=fs)
-        out = simulator.integrate(pack, cfg, basin_id,
-                                  seeding.initial_state(prop), params,
-                                  prop.integrate)
-        is_tc, _ = simulator.tc_filters(cfg, out)
-        vmax = diagnostics.axi_to_max_wind(out.lon, out.lat,
-                                           float(cfg.output_interval_s),
-                                           out.v, out.wnds)
-        keep = is_tc & diagnostics.vmax_filter(cfg, vmax)
-        return (keep, prop.counted, prop.basin_idx, prop.month,
-                out.lon, out.lat, out.v, out.m, vmax, out.wnds)
+        return pipeline.launch_body(jax.random.fold_in(key, d), pack, cfg,
+                                    basin_id, n_local, plane_offset)
 
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
@@ -88,21 +73,11 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         check_vma=False)
 
     def launch(key, plane_offset, pack: FieldPack):
-        (keep, counted, basin_idx, month,
-         lon, lat, v, m, vmax, wnds) = sharded(key, plane_offset, pack)
+        body = sharded(key, plane_offset, pack)
         # survivor compaction (slot order): the only cross-chip step
-        slot = jnp.arange(n)
-        order = jnp.argsort(jnp.where(keep, slot, slot + n))[:k_max]
         rep = NamedSharding(mesh, P())
-        g = lambda a: jax.lax.with_sharding_constraint(
-            jnp.take(a, order, axis=0), rep)
-        tracks = {'lon': g(lon), 'lat': g(lat), 'v': g(v), 'm': g(m),
-                  'vmax': g(vmax), 'wnds': g(wnds),
-                  'month': g(month), 'basin_idx': g(basin_idx),
-                  'valid': g(keep)}
-        meta = {'keep': keep, 'counted': counted,
-                'basin_idx': basin_idx, 'month': month}
-        return tracks, meta
+        constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
+        return pipeline.compact_survivors(body, n, k_max, constrain)
 
     rep = NamedSharding(mesh, P())
     return jax.jit(launch, in_shardings=(rep, rep, rep))

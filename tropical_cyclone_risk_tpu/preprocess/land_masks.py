@@ -37,11 +37,11 @@ def quarter_degree_grid() -> Tuple[np.ndarray, np.ndarray]:
 
 def land_from_netcdf(fn_land: str) -> np.ndarray:
     """Rasterize is-land onto the 0.25-degree grid by nearest sampling of a
-    land-fraction file with ascending 0-360 lon / ascending lat axes."""
-    ds = netcdf.read(fn_land)
-    src = np.asarray(ds['land'].data, dtype=np.float32)
-    src_lon = np.asarray(ds['lon'].data, dtype=np.float64)
-    src_lat = np.asarray(ds['lat'].data, dtype=np.float64)
+    land-fraction file.  Axis conventions (descending lat, +/-180 lon) are
+    normalized by the shared loader so any land file usable by the intensity
+    model is usable here."""
+    from tropical_cyclone_risk_tpu.preprocess.static import load_land
+    src, src_lon, src_lat = load_land(fn_land)   # ascending 0-360
     lon, lat = quarter_degree_grid()
     ii = np.clip(np.round((lat - src_lat[0]) / (src_lat[1] - src_lat[0])
                           ).astype(int), 0, src_lat.size - 1)

@@ -20,14 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from tropical_cyclone_risk_tpu.io import netcdf
-from tropical_cyclone_risk_tpu.utils.basins import roll_field_to_0360
-
-
-def _ascending_lat(lat: np.ndarray, field: np.ndarray, lat_axis: int):
-    if lat[1] < lat[0]:
-        lat = lat[::-1]
-        field = np.flip(field, axis=lat_axis)
-    return lat, field
+from tropical_cyclone_risk_tpu.io.input import normalize_latlon
 
 
 def load_land(fn: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -37,8 +30,8 @@ def load_land(fn: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     land = np.asarray(ds['land'].data, np.float32)
     lon = np.asarray(ds['lon'].data, np.float64)
     lat = np.asarray(ds['lat'].data, np.float64)
-    lat, land = _ascending_lat(lat, land, 0)
-    lon, land = roll_field_to_0360(lon, land)
+    lon, lat, (land,) = normalize_latlon(lon, lat, land,
+                                         lat_axis=0, lon_axis=1)
     return land, lon, lat
 
 
@@ -51,8 +44,8 @@ def load_bathy(fn: Optional[str], land: np.ndarray, lon: np.ndarray,
         bathy = np.asarray(ds['bathymetry'].data, np.float32)
         blon = np.asarray(ds['lon'].data, np.float64)
         blat = np.asarray(ds['lat'].data, np.float64)
-        blat, bathy = _ascending_lat(blat, bathy, 0)
-        blon, bathy = roll_field_to_0360(blon, bathy)
+        blon, blat, (bathy,) = normalize_latlon(blon, blat, bathy,
+                                                lat_axis=0, lon_axis=1)
         return bathy, blon, blat
     proxy = np.where(land >= 0.5, 100.0, -4500.0).astype(np.float32)
     return proxy, lon, lat
@@ -73,6 +66,6 @@ def load_monthly_climatology(fn: str, var: str
     if lon.size > 1 and np.isclose(lon[-1] - lon[0], 360.0):
         lon = lon[:-1]
         data = data[:, :, :-1]
-    lat, data = _ascending_lat(lat, data, 1)
-    lon, data = roll_field_to_0360(lon, data)
+    lon, lat, (data,) = normalize_latlon(lon, lat, data,
+                                         lat_axis=1, lon_axis=2)
     return np.nan_to_num(data).astype(np.float32), lon, lat
