@@ -199,3 +199,12 @@ def read_env_wnd(cfg: Namelist, fn: str) -> Tuple[np.ndarray, np.ndarray,
     lon = np.asarray(ds['lon'].data, np.float64)
     lat = np.asarray(ds['lat'].data, np.float64)
     return stack, lon, lat, tcin.times_of(ds)
+
+
+def deep_layer_winds(cfg: Namelist, env_wnds):
+    """Extract (u250, v250, u850, v850) from wind vectors [..., W]
+    (track/env_wind.py:49-55) — the deep-layer shear components."""
+    names = wind_mean_names(cfg)
+    idx = [names.index(n) for n in
+           ('ua250_Mean', 'va250_Mean', 'ua850_Mean', 'va850_Mean')]
+    return tuple(env_wnds[..., i] for i in idx)

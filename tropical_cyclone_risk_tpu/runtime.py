@@ -116,6 +116,10 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                  metrics.rate('tracks', 'simulate'))
     out = pipeline.concat_years(results, cfg)
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: tracks are replicated; only the primary host publishes
+        return get_fn_tracks(cfg, basin_id)
+
     os.makedirs('%s/%s' % (cfg.output_directory, cfg.exp_name), exist_ok=True)
     fn = fn_tracks_duplicates(get_fn_tracks(cfg, basin_id))
     write_tracks_nc(fn, out, cfg)
