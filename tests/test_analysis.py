@@ -131,3 +131,35 @@ def test_download_request_shapes():
     cfg = Namelist()
     with pytest.raises(RuntimeError, match='cdsapi'):
         download_era5.download_year(cfg, 2020)
+
+
+def test_landfalls():
+    ens, cfg = None, CFG.replace(start_year=2016, end_year=2016)
+    T = cfg.n_steps_output
+    lon = np.full((1, 2, T), np.nan, np.float32)
+    lat = np.full((1, 2, T), np.nan, np.float32)
+    vmax = np.full((1, 2, T), np.nan, np.float32)
+    # track 0 crosses lon=300 eastward onto land at sample 10
+    lon[0, 0, :20] = np.linspace(290, 309, 20)
+    lat[0, 0, :20] = 20.0
+    vmax[0, 0, :20] = np.linspace(30, 49, 20)
+    # track 1 stays over ocean
+    lon[0, 1, :30] = np.linspace(200, 229, 30)
+    lat[0, 1, :30] = 15.0
+    vmax[0, 1, :30] = 40.0
+    land_lon = np.arange(0.0, 360.0, 1.0)
+    land_lat = np.linspace(-90, 90, 181)
+    land = np.zeros((181, 360), np.float32)
+    land[:, 300:] = 1.0                     # land east of 300E
+    ens = analysis.TrackEnsemble(
+        lon=lon, lat=lat, vmax=vmax, v=vmax,
+        tc_month=np.array([[9, 9]]), tc_years=np.array([[2016, 2016]]),
+        tc_basins=np.array([['NA', 'EP']]),
+        seeds_per_month=np.zeros((1, 1, 7, 12)),
+        year=np.array([2016]), basin=list(cfg.basin_ids_sorted()))
+    lf = analysis.landfalls(ens, land, land_lon, land_lat)
+    assert lf['index'][0, 0] > 0
+    assert lf['index'][0, 1] == -1 and np.isnan(lf['vmax'][0, 1])
+    k = lf['index'][0, 0]
+    assert abs(lf['lon'][0, 0] - lon[0, 0, k]) < 1e-5
+    assert lon[0, 0, k] >= 299.5

@@ -161,3 +161,36 @@ def lmi_distribution(ens: TrackEnsemble, bins: Optional[np.ndarray] = None
     lmi = lmi[np.isfinite(lmi)]
     h, edges = np.histogram(lmi, bins=bins, density=True)
     return 0.5 * (edges[:-1] + edges[1:]), h
+
+
+def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
+              land_lat: np.ndarray) -> Dict[str, np.ndarray]:
+    """Landfall statistics per track against a land mask [lat, lon]
+    (ascending 0-360 axes, e.g. preprocess.static.load_land output).
+
+    Returns dict with 'index' [E, n_trk] (first sample over land after
+    being over ocean; -1 = no landfall), 'vmax' (vmax at that sample) and
+    'lon'/'lat' (landfall position) — the inputs of landfall return-period
+    curves (BASELINE.json config 5; the reference computes these ad hoc in
+    analysis, no library equivalent exists there)."""
+    ii = np.clip(np.round((ens.lat - land_lat[0])
+                          / (land_lat[1] - land_lat[0])), 0,
+                 land_lat.size - 1)
+    jj = np.clip(np.round((ens.lon % 360.0 - land_lon[0])
+                          / (land_lon[1] - land_lon[0])), 0,
+                 land_lon.size - 1)
+    valid = np.isfinite(ens.lon) & np.isfinite(ens.lat)
+    on_land = np.zeros(ens.lon.shape, bool)
+    on_land[valid] = land[ii[valid].astype(int), jj[valid].astype(int)] >= 0.5
+    # first ocean->land transition
+    was_ocean = valid & ~on_land
+    prev_ocean = np.concatenate([np.zeros_like(was_ocean[..., :1]),
+                                 was_ocean[..., :-1]], axis=-1)
+    lf = on_land & prev_ocean
+    any_lf = lf.any(axis=-1)
+    idx = np.where(any_lf, lf.argmax(axis=-1), -1)
+    take = np.take_along_axis
+    sel = lambda a: np.where(any_lf, take(a, np.maximum(idx, 0)[..., None],
+                                          axis=-1)[..., 0], np.nan)
+    return {'index': idx, 'vmax': sel(ens.vmax),
+            'lon': sel(ens.lon), 'lat': sel(ens.lat)}

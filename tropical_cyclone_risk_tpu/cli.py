@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument('--devices', type=int, default=None,
                     help='shard seed batches over this many devices '
                          '(default: single device)')
+    ap.add_argument('--ensembles', type=int, default=1,
+                    help='number of ensemble members to generate (reruns '
+                         'append _eN suffixes, util/compute.py:52-58)')
     args = ap.parse_args(argv)
 
     cfg = load_namelist_py(args.namelist) if args.namelist else Namelist()
@@ -62,8 +65,9 @@ def main(argv=None) -> int:
         from tropical_cyclone_risk_tpu.parallel import sharding
         mesh = sharding.make_mesh(args.devices)
         pack = sharding.replicate_pack(pack, mesh)
-    runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years,
-                            mesh=mesh)
+    for _ in range(max(1, args.ensembles)):
+        runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years,
+                                mesh=mesh)
     return 0
 
 

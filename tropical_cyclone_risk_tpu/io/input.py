@@ -13,9 +13,8 @@ from __future__ import annotations
 import calendar as _cal
 import datetime
 import glob
-import os
 import re
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -27,7 +27,6 @@ from tropical_cyclone_risk_tpu.io import netcdf
 from tropical_cyclone_risk_tpu.models import fields as F
 from tropical_cyclone_risk_tpu.ops import interp
 from tropical_cyclone_risk_tpu.preprocess import static, thermo_driver, winds
-from tropical_cyclone_risk_tpu.utils import basins as basins_mod
 
 
 def _plane_index(cfg: Namelist, times: np.ndarray) -> np.ndarray:
