@@ -260,3 +260,34 @@ def test_debug_fixed_position():
     # intensity still evolves
     v = np.asarray(out.v)
     assert np.nanstd(v[alive]) > 0.5
+
+
+def test_propose_seeds_southern_hemisphere():
+    """SH basins flip the genesis belt to [-45, -3] (util/compute.py:140-141)
+    and the beta drift sign; seeds must all sit south of the equator."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0,
+                          run_basin='SI')
+    prop = seeding.propose_seeds(jax.random.key(4), pack, CFG, 'SI', 4096)
+    lat = np.asarray(prop.lat)
+    counted = np.asarray(prop.counted)
+    assert counted.sum() > 30
+    assert lat[counted].max() < -2.0
+    assert lat[counted].min() >= -45.0 - 1e-4
+    lon = np.asarray(prop.lon)
+    assert lon[counted].min() >= 20.0 and lon[counted].max() <= 100.0
+    # SH basin indices only (SI=4 in sorted AU,EP,NA,NI,SI,SP,WP)
+    ids = CFG.basin_ids_sorted()
+    got = {ids[i] for i in np.asarray(prop.basin_idx)[counted]}
+    assert got <= {'SI', 'AU'}, got
+
+
+def test_run_tracks_year_na_basin():
+    """Single-basin (NA) quota run: all tracks start inside NA bounds."""
+    from tropical_cyclone_risk_tpu.models import pipeline
+    cfg = CFG.replace(seed_batch=1024, tracks_per_year=2)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0,
+                          run_basin='NA')
+    yt = pipeline.run_tracks_year(jax.random.key(9), pack, cfg, 'NA', 0)
+    assert yt.lon.shape[0] == 2
+    assert np.all(yt.lon[:, 0] >= 260.0) and np.all(yt.lon[:, 0] <= 360.0)
+    assert np.all(yt.lat[:, 0] > 2.0)

@@ -101,7 +101,8 @@ def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:
 
 
 def synthetic_pack(cfg: Namelist, n_planes: int = 12, nlat: int = 181,
-                   nlon: int = 360, seed: int = 0) -> FieldPack:
+                   nlon: int = 360, seed: int = 0,
+                   run_basin: str = 'GL') -> FieldPack:
     """A physically plausible synthetic global environment for tests and
     benchmarks: zonal jets with seasonal modulation, warm-pool PI, idealized
     land band.  Shapes mirror a 1-degree ERA5 preprocessing output."""
@@ -170,7 +171,10 @@ def synthetic_pack(cfg: Namelist, n_planes: int = 12, nlat: int = 181,
              (land < 0.5)).astype(np.float32)
         masks.append(m)
     basin_masks = np.stack(masks, axis=-1)
-    run_mask = ((np.abs(LA) <= 50) & (land < 0.5)).astype(np.float32)  # 'GL'
+    if run_basin == 'GL':
+        run_mask = ((np.abs(LA) <= 50) & (land < 0.5)).astype(np.float32)
+    else:
+        run_mask = masks[basin_ids.index(run_basin)]
 
     return FieldPack(
         grid=grid,
