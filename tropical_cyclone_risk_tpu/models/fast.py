@@ -124,8 +124,13 @@ class FieldSample(NamedTuple):
 
 def sample_fields(stacks: F.GatherStacks, lon, lat, plane) -> FieldSample:
     """All field gathers for one batch position (the hot memory op):
-    two corner-packed gather rows per seed."""
+    one corner-packed gather row per seed when land/bathy share the
+    atmospheric grid, two otherwise."""
     cell = interp.bilinear_packed(stacks.cell4, stacks.grid, lon, lat, plane)
+    if stacks.geo_in_cell:
+        return FieldSample(cell[:, :stacks.n_wind_ch],
+                           cell[:, stacks.n_wind_ch:-2],
+                           cell[:, -2], cell[:, -1])
     geo = interp.bilinear_packed(stacks.land_geo4, stacks.land_grid,
                                  lon, lat)
     if stacks.fused_geo:

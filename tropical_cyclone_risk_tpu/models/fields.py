@@ -62,8 +62,9 @@ class GatherStacks(NamedTuple):
     the proxy bathymetry).
     """
     grid: 'UniformGrid'
-    cell4: jnp.ndarray         # [P, nlat, nlon, 4*(n_wind_ch + N_ENV)]
+    cell4: jnp.ndarray         # [P, nlat, nlon, 4*n_cell_ch]
     n_wind_ch: int             # channels 0..n_wind_ch-1 are wind stats
+    geo_in_cell: bool          # land/bathy are the last 2 cell channels
     land_grid: 'UniformGrid'
     land_geo4: jnp.ndarray     # [nlat_l, nlon_l, 4*(1 or 2)] (land[, bathy])
     bathy_grid: 'UniformGrid'  # separate-bathy fallback (unused when fused)
@@ -76,15 +77,31 @@ class GatherStacks(NamedTuple):
 
 def build_stacks(pack: FieldPack) -> GatherStacks:
     """Build the fused gather stacks (one concatenate + corner pack at trace
-    time, hoisted out of the integration loop)."""
+    time, hoisted out of the integration loop).
+
+    When land and bathymetry live on the atmospheric grid (no resolution to
+    lose), they are merged into the per-plane cell stack so the step loop
+    issues ONE gather row per seed — the XLA gather is row-rate-bound
+    (~10 ns/row regardless of width, tools/bench_gather_micro.py), so row
+    count is the whole cost.  With a higher-resolution land mask (the
+    production 0.125-degree file) they stay a separate gather to preserve
+    coastline resolution."""
     from tropical_cyclone_risk_tpu.ops.interp import pack_corners
     cell = jnp.concatenate([pack.wind, pack.env], axis=-1)
+    geo_in_cell = (pack.land_grid == pack.grid
+                   and pack.bathy_grid == pack.grid)
+    if geo_in_cell:
+        P_ = cell.shape[0]
+        geo = jnp.stack([pack.land, pack.bathy], axis=-1)
+        cell = jnp.concatenate(
+            [cell, jnp.broadcast_to(geo[None], (P_,) + geo.shape)], axis=-1)
     if pack.land_grid == pack.bathy_grid:
         land_geo = jnp.stack([pack.land, pack.bathy], axis=-1)
     else:
         land_geo = pack.land[..., None]
     return GatherStacks(grid=pack.grid, cell4=pack_corners(cell),
                         n_wind_ch=pack.wind.shape[-1],
+                        geo_in_cell=geo_in_cell,
                         land_grid=pack.land_grid,
                         land_geo4=pack_corners(land_geo),
                         bathy_grid=pack.bathy_grid,
