@@ -291,3 +291,28 @@ def test_run_tracks_year_na_basin():
     assert yt.lon.shape[0] == 2
     assert np.all(yt.lon[:, 0] >= 260.0) and np.all(yt.lon[:, 0] <= 360.0)
     assert np.all(yt.lat[:, 0] > 2.0)
+
+
+def test_time_interp_fields():
+    """Optional monthly-plane time interpolation: t=0 equals the frozen
+    sample; mid-track blends toward the next plane."""
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    pack, params, y0 = _setup_batch()
+    stacks = fields_mod.build_stacks(pack)
+    cfg_ti = CFG.replace(time_interp_fields=True)
+    s_frozen = fast.sample_fields(stacks, y0.lon, y0.lat, params.plane)
+    s_t0 = fast.sample_fields_at_time(stacks, cfg_ti, y0.lon, y0.lat,
+                                      params.plane, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(s_t0.env),
+                               np.asarray(s_frozen.env), rtol=1e-6)
+    t_half = jnp.float32(fast.SECONDS_PER_MONTH / 2)
+    s_next = fast.sample_fields(stacks, y0.lon, y0.lat, params.plane + 1)
+    s_mid = fast.sample_fields_at_time(stacks, cfg_ti, y0.lon, y0.lat,
+                                       params.plane, t_half)
+    want = 0.5 * (np.asarray(s_frozen.env) + np.asarray(s_next.env))
+    np.testing.assert_allclose(np.asarray(s_mid.env), want, rtol=1e-5,
+                               atol=1e-5)
+    # full integration under time interp runs and produces live tracks
+    out = simulator.integrate(pack, cfg_ti, 'GL', y0, params,
+                              jnp.ones(4, bool))
+    assert np.all(np.asarray(out.alive[:, 0]))

@@ -130,6 +130,13 @@ class Namelist:
     seed_batch: int = 8192            # seeds proposed per on-device batch
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
+    # linearly interpolate monthly field planes in track time instead of
+    # freezing them at the seed month (the reference freezes:
+    # track/bam_track.py:88-91, util/compute.py:107-121).  Genesis anchors
+    # at the seed month's mid-month plane; a 15-day track then blends up to
+    # halfway into the next month.  Costs one extra gather row per seed per
+    # step.  OFF by default for reference parity.
+    time_interp_fields: bool = False
     # re-gather environmental fields at every RK stage (exact RK4 in the
     # field dependence) instead of once per output step.  Fields vary on
     # ~100 km scales while a storm moves ~20 km/h, so the default

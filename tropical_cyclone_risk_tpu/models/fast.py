@@ -142,6 +142,29 @@ def sample_fields(stacks: F.GatherStacks, lon, lat, plane) -> FieldSample:
                        cell[:, stacks.n_wind_ch:], geo[:, 0], bathy)
 
 
+SECONDS_PER_MONTH = 30.44 * 86400.0     # mean month, plane-interp time axis
+
+
+def sample_fields_at_time(stacks: F.GatherStacks, cfg: Namelist, lon, lat,
+                          plane, t) -> FieldSample:
+    """Field sample with optional linear time interpolation between monthly
+    planes (cfg.time_interp_fields; genesis anchored at the seed month's
+    mid-month plane, so plane p blends toward p+1 as the track ages)."""
+    if not cfg.time_interp_fields:
+        return sample_fields(stacks, lon, lat, plane)
+    n_planes = stacks.cell4.shape[0]
+    tau = jnp.clip(t / SECONDS_PER_MONTH, 0.0, 1.0)
+    p1 = jnp.minimum(plane + 1, n_planes - 1)
+    s0 = sample_fields(stacks, lon, lat, plane)
+    s1 = sample_fields(stacks, lon, lat, p1)
+    tau = jnp.broadcast_to(jnp.asarray(tau, s0.env.dtype), lon.shape)
+    return FieldSample(
+        s0.wind_stats + tau[:, None] * (s1.wind_stats - s0.wind_stats),
+        s0.env + tau[:, None] * (s1.env - s0.env),
+        s0.land + tau * (s1.land - s0.land),
+        s0.bathy + tau * (s1.bathy - s0.bathy))
+
+
 def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
                     smp: FieldSample) -> Tuple[State, jnp.ndarray]:
     """Coupled tendency (coupled_fast.py:196-207) given gathered fields."""
@@ -188,9 +211,10 @@ def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
 
 def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
         params: SeedParams) -> Tuple[State, jnp.ndarray]:
-    """Full coupled tendency: gather at y's position, then dynamics.
+    """Full coupled tendency: gather at y's position (and track time, when
+    time interpolation is on), then dynamics.
     Returns (dy/dt as a State of tendencies, sampled winds [N, W])."""
-    smp = sample_fields(stacks, y.lon, y.lat, params.plane)
+    smp = sample_fields_at_time(stacks, cfg, y.lon, y.lat, params.plane, t)
     return rhs_from_sample(cfg, t, y, params, smp)
 
 

@@ -62,7 +62,8 @@ def _rk4_step(rhs_fn, t, y: fast.State, dt):
 def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt):
     """RK4 step with one field gather at the step-start position (the
     gather-bound default; see Namelist.rk_exact_stage_fields)."""
-    smp = fast.sample_fields(stacks, y.lon, y.lat, params.plane)
+    smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
+                                     params.plane, t)
     rhs_fn = lambda tt, yy: fast.rhs_from_sample(cfg, tt, yy, params, smp)
     return _rk4_step(rhs_fn, t, y, dt)
 
