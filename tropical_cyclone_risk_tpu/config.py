@@ -140,8 +140,10 @@ class Namelist:
     # re-gather environmental fields at every RK stage (exact RK4 in the
     # field dependence) instead of once per output step.  Fields vary on
     # ~100 km scales while a storm moves ~20 km/h, so the default
-    # once-per-step sampling is physically equivalent and ~4x lighter on
-    # the gather-bound hot loop; trajectories agree to <0.02 deg / 15 days
+    # once-per-step sampling (fields AND the Cholesky/Fourier wind
+    # coloring) is physically equivalent and far lighter on the
+    # gather-bound hot loop; trajectories agree to <0.3 deg over 15 days,
+    # well under the stochastic track spread
     # (tests/test_simulator.py::test_frozen_field_step_accuracy).
     rk_exact_stage_fields: bool = False
     # freeze storm positions (intensity-only integration) — the reference's

@@ -165,18 +165,20 @@ def sample_fields_at_time(stacks: F.GatherStacks, cfg: Namelist, lon, lat,
         s0.bathy + tau * (s1.bathy - s0.bathy))
 
 
-def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
-                    smp: FieldSample) -> Tuple[State, jnp.ndarray]:
-    """Coupled tendency (coupled_fast.py:196-207) given gathered fields."""
+def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
+                    smp: FieldSample, wnds_raw) -> Tuple[State, jnp.ndarray]:
+    """Coupled tendency (coupled_fast.py:196-207) given gathered fields and
+    already-colored environmental winds (the stage-independent parts of one
+    step; steering weights, ocean feedback and the ODEs below remain exact
+    per RK stage)."""
     lon, lat, v, m = y
     env = smp.env
     land_val = smp.land
     bathy_val = smp.bathy
 
-    wnds = color_winds(cfg, smp.wind_stats, params.fourier, t)
     # hard stop poleward of 80 deg (track/bam_track.py:131-135)
     polar = jnp.abs(lat) >= 80.0
-    wnds = jnp.where(polar[:, None], 0.0, wnds)
+    wnds = jnp.where(polar[:, None], 0.0, wnds_raw)
 
     coefs = steering_coefs(cfg, v)
     w_lat = jnp.cos(jnp.deg2rad(lat))
@@ -207,6 +209,14 @@ def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
         dlon = jnp.zeros_like(dlon)
         dlat = jnp.zeros_like(dlat)
     return State(dlon, dlat, dvdt, dmdt), wnds
+
+
+def rhs_from_sample(cfg: Namelist, t, y: State, params: SeedParams,
+                    smp: FieldSample) -> Tuple[State, jnp.ndarray]:
+    """Coupled tendency with per-call wind coloring (the exact per-stage
+    form; the default integrator colors once per step instead)."""
+    wnds = color_winds(cfg, smp.wind_stats, params.fourier, t)
+    return rhs_given_winds(cfg, t, y, params, smp, wnds)
 
 
 def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,

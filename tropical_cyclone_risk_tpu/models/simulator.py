@@ -60,11 +60,16 @@ def _rk4_step(rhs_fn, t, y: fast.State, dt):
 
 
 def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt):
-    """RK4 step with one field gather at the step-start position (the
-    gather-bound default; see Namelist.rk_exact_stage_fields)."""
+    """RK4 step with one field gather AND one wind coloring (Cholesky +
+    Fourier synthesis) at the step start (the gather-bound default; see
+    Namelist.rk_exact_stage_fields).  F(t) has a 20-day period, so its
+    sub-hour variation is O(1e-3) of the wind amplitude; steering weights,
+    ocean feedback and the FAST ODEs stay exact per RK stage."""
     smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
                                      params.plane, t)
-    rhs_fn = lambda tt, yy: fast.rhs_from_sample(cfg, tt, yy, params, smp)
+    wnds = fast.color_winds(cfg, smp.wind_stats, params.fourier, t)
+    rhs_fn = lambda tt, yy: fast.rhs_given_winds(cfg, tt, yy, params, smp,
+                                                 wnds)
     return _rk4_step(rhs_fn, t, y, dt)
 
 
