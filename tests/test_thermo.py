@@ -139,3 +139,34 @@ def test_cape_pi_cold_sst_gives_zero():
         jnp.asarray(p_env, jnp.float32), jnp.asarray(Tenv, jnp.float32),
         jnp.asarray(renv, jnp.float32), table))
     assert np.all(got < 5.0)
+
+
+def test_cape_pi_direct_inversion_mode():
+    """select_interp=1 (direct Newton entropy inversion) agrees with the
+    table mode within the table's discretization error, and the reversible
+    branch (select_thermo=2) runs and gives physical PI."""
+    import jax.numpy as jnp
+    from tropical_cyclone_risk_tpu.ops import pi as pi_mod
+
+    table = pi_mod.EntropyTable.create(1)
+    p_env = jnp.asarray([101000.0, 85000.0, 60000.0, 40000.0, 25000.0,
+                         10000.0], jnp.float32)
+    sst = jnp.asarray([[302.0, 299.0]])
+    psl = jnp.asarray([[101000.0, 101000.0]])
+    Tsfc = sst - 1.0
+    T = jnp.stack([Tsfc[0] * (p / 101000.0) ** 0.19 for p in p_env])[:, None]
+    r = jnp.stack([0.018 * jnp.exp(-(101000.0 - p) / 25000.0)
+                   * jnp.ones(2) for p in p_env])[:, None]
+    pi_table = pi_mod.cape_pi(sst, psl, p_env, T, r, table,
+                              select_interp=2)
+    pi_direct = pi_mod.cape_pi(sst, psl, p_env, T, r, table,
+                               select_interp=1)
+    a, b = np.asarray(pi_table), np.asarray(pi_direct)
+    assert a.max() > 40.0
+    np.testing.assert_allclose(a, b, rtol=0.08, atol=2.0)
+
+    # reversible branch needs per-parcel total water -> direct mode only
+    pi_rev = pi_mod.cape_pi(sst, psl, p_env, T, r, table,
+                            select_thermo=2, select_interp=1)
+    c = np.asarray(pi_rev)
+    assert np.all(np.isfinite(c)) and c.max() > 30.0

@@ -54,7 +54,8 @@ def compute_thermo_month(cfg: Namelist, table: pi_ops.EntropyTable,
     """
     vmax = pi_ops.cape_pi(sst_k, psl, jnp.asarray(lvl_pa, jnp.float32),
                           ta, hus, table,
-                          select_thermo=cfg.select_thermo)
+                          select_thermo=cfg.select_thermo,
+                          select_interp=cfg.select_interp)
     i_mid = int(np.argmin(np.abs(lvl_pa - cfg.p_midlevel)))
     p_mid = float(lvl_pa[i_mid])
     ta_mid = ta[i_mid]
