@@ -179,3 +179,33 @@ def test_vmax_finite_at_final_valid_sample():
         jnp.asarray(v), jnp.asarray(wnds)))
     assert np.all(np.isfinite(vmax[0, :k + 1]))
     assert np.all(np.isnan(vmax[0, k + 1:]))
+
+
+def test_obs_metrics_and_phase():
+    from tropical_cyclone_risk_tpu.utils import obs
+    m = obs.Metrics()
+    m.count('seeds', 100)
+    m.count('seeds', 50)
+    with obs.phase('work', m):
+        pass
+    assert m.counters['seeds'] == 150
+    assert 'work' in m.timings and m.timings['work'] >= 0
+    m.time('simulate', 3.0)
+    assert m.rate('seeds', 'simulate') == 50.0
+    assert m.rate('seeds', 'missing') == 0.0
+    s = m.summary()
+    assert s['seeds'] == 150 and 'simulate_s' in s
+
+
+def test_inv_trans_sampling_and_nc_valid(tmp_path):
+    from tropical_cyclone_risk_tpu.utils import util as u
+    rng = np.random.default_rng(0)
+    data = rng.normal(10.0, 2.0, 5000)
+    samples = u.inv_trans_sampling(data, n_samples=5000,
+                                   rng=np.random.default_rng(1))
+    assert abs(samples.mean() - 10.0) < 0.2
+    assert abs(samples.std() - 2.0) < 0.3
+    assert not u.is_nc_file_valid(str(tmp_path / 'nope.nc'))
+    bad = tmp_path / 'bad.nc'
+    bad.write_bytes(b'not netcdf')
+    assert not u.is_nc_file_valid(str(bad))
