@@ -21,8 +21,6 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tropical_cyclone_risk_tpu.config import Namelist
@@ -59,19 +57,24 @@ def wind_cov_names(cfg: Namelist) -> List[str]:
     return out
 
 
-@jax.jit
-def _monthly_stats(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _monthly_stats(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """x: [D, W, nlat, nlon] daily winds -> (mean [W, ...], cov [W, W, ...]).
 
     Diagonal uses ddof=0 and off-diagonals ddof=1 (reference quirk, see
-    module docstring)."""
+    module docstring).
+
+    Host-side numpy on purpose: this one-pass reduction is ~100 MFLOP per
+    month while the raw daily fields are ~60 MB/month — on a remote-attached
+    accelerator the transfer dwarfs the arithmetic (measured: the 6-year
+    device-side version spent ~400 s, almost all in host->device copies)."""
     D, W = x.shape[0], x.shape[1]
-    mean = jnp.mean(x, axis=0)
+    x = np.asarray(x, np.float64)
+    mean = x.mean(axis=0)
     xc = x - mean[None]
-    prod = jnp.einsum('dinm,djnm->ijnm', xc, xc)
-    eye = jnp.eye(W).reshape(W, W, 1, 1)
+    prod = np.einsum('dinm,djnm->ijnm', xc, xc)
+    eye = np.eye(W).reshape(W, W, 1, 1)
     cov = prod * (eye / D + (1.0 - eye) / max(D - 1, 1))
-    return mean, cov
+    return mean.astype(np.float32), cov.astype(np.float32)
 
 
 def _daily_means(u: np.ndarray, times: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -132,9 +135,7 @@ def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str
     out: Dict[Tuple[int, int], np.ndarray] = {}
     for (yy, mm) in np.unique(ym, axis=0):
         m_sel = (ym[:, 0] == yy) & (ym[:, 1] == mm)
-        mean, cov = _monthly_stats(jnp.asarray(daily[m_sel], jnp.float32))
-        mean = np.asarray(mean)
-        cov = np.asarray(cov)
+        mean, cov = _monthly_stats(daily[m_sel])
         tri = [cov[i, j] for i in range(W) for j in range(i + 1)]
         out[(int(yy), int(mm))] = np.concatenate(
             [mean, np.stack(tri)], axis=0)          # [W + W(W+1)/2, ...]
