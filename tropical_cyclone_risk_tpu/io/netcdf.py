@@ -137,7 +137,8 @@ def _read_classic(path: str) -> Dataset:
         ds.attrs = {k: _decode_attr(v) for k, v in f._attributes.items()}
         for name, var in f.variables.items():
             attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
-            data = np.asarray(var[()]).copy()
+            # mmap=False: scipy already materialized the data; no copy
+            data = np.asarray(var[()])
             data = _decode_cf_values(data, attrs.pop('_FillValue', None),
                                      attrs.pop('missing_value', None),
                                      attrs.pop('scale_factor', None),

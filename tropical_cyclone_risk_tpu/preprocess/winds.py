@@ -2,9 +2,11 @@
 
 Reference equivalent: track/env_wind.py (gen_wind_mean_cov / calc_wnd_stat).
 The reference fans one dask process per (u-file, v-file) pair and computes
-per-month xarray reductions; here the per-month statistics are one fused JAX
-reduction over the packed daily wind stack [D, W, nlat, nlon] — a single
-einsum produces the full covariance matrix for every grid point at once.
+per-month xarray reductions; here one einsum over the packed daily wind
+stack [D, W, nlat, nlon] produces the full covariance matrix for every grid
+point at once.  This stage is IO-bound, so it runs host-side (see
+_monthly_stats) — the accelerator earns its keep on CAPE-PI and the
+simulation, not on a ~100 MFLOP/month reduction behind a GB of file reads.
 
 Variable-name and file-name contracts match the reference exactly
 (track/env_wind.py:13-42, 104-113) so downstream consumers (and the
@@ -84,15 +86,21 @@ def _daily_means(u: np.ndarray, times: np.ndarray) -> Tuple[np.ndarray, np.ndarr
     uniq, inv = np.unique(days, return_inverse=True)
     if uniq.size == times.size:
         return uniq, u
-    out = np.zeros((uniq.size,) + u.shape[1:], u.dtype)
-    cnt = np.bincount(inv, minlength=uniq.size).astype(u.dtype)
+    cnt = np.bincount(inv, minlength=uniq.size)
+    k = cnt[0]
+    if np.all(cnt == k) and np.array_equal(inv, np.repeat(
+            np.arange(uniq.size), k)):
+        # uniform sub-daily sampling (e.g. 00Z/12Z): contiguous reshape-mean
+        # instead of np.add.at (which runs ~100 MB/s on GB-scale stacks)
+        return uniq, u.reshape((uniq.size, k) + u.shape[1:]).mean(axis=1)
+    out = np.zeros((uniq.size,) + u.shape[1:], np.float64)
     np.add.at(out, inv, u)
-    return uniq, out / cnt.reshape((-1,) + (1,) * (u.ndim - 1))
+    return uniq, (out / cnt.reshape((-1,) + (1,) * (u.ndim - 1))
+                  ).astype(u.dtype)
 
 
-def _select_levels(cfg: Namelist, ds: netcdf.Dataset, data: np.ndarray
-                   ) -> np.ndarray:
-    """Select the steering levels from [T, L, nlat, nlon] -> [T, S, ...]
+def _level_indices(cfg: Namelist, ds: netcdf.Dataset) -> List[int]:
+    """Steering-level indices in a file's level axis
     (track/env_wind.py:180-184, hPa vs Pa)."""
     lvl_pa = tcin.level_axis_pa(cfg, ds)
     idx = []
@@ -102,7 +110,7 @@ def _select_levels(cfg: Namelist, ds: netcdf.Dataset, data: np.ndarray
             raise ValueError(f'steering level {p_hPa} hPa not in file '
                              f'(levels: {lvl_pa / 100.0})')
         idx.append(i)
-    return data[:, idx]
+    return idx
 
 
 def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str
@@ -121,14 +129,16 @@ def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str
         return None
     u_raw, v_raw, times = u_raw[sel], v_raw[sel], times[sel]
 
-    u_lvl = _select_levels(cfg, ds_u, u_raw)       # [T, S, nlat, nlon]
-    v_lvl = _select_levels(cfg, ds_v, v_raw)
-    # interleave to (ua_l1, va_l1, ua_l2, va_l2, ...): the reference's wind
-    # vector order is per-level (u, v) pairs (track/env_wind.py:24-25)
+    # interleave to (ua_l1, va_l1, ua_l2, va_l2, ...) in one allocation:
+    # the reference's wind vector order is per-level (u, v) pairs
+    # (track/env_wind.py:24-25)
+    idx_u = _level_indices(cfg, ds_u)
+    idx_v = _level_indices(cfg, ds_v)
     W = 2 * len(cfg.steering_levels)
-    wnds = np.stack(sum(([u_lvl[:, i], v_lvl[:, i]]
-                         for i in range(len(cfg.steering_levels))), []),
-                    axis=1)                         # [T, W, nlat, nlon]
+    wnds = np.empty((u_raw.shape[0], W) + u_raw.shape[2:], np.float32)
+    for i in range(len(cfg.steering_levels)):
+        wnds[:, 2 * i] = u_raw[:, idx_u[i]]
+        wnds[:, 2 * i + 1] = v_raw[:, idx_v[i]]
 
     days, daily = _daily_means(wnds, times)
     ym = np.stack([tcin.year_of(days), tcin.month_of(days)], axis=1)
