@@ -166,6 +166,10 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
             f'no daily wind files under {cfg.base_directory} '
             f'(prefix {cfg.exp_prefix})')
 
+    # serial over file pairs on purpose: each pair holds ~3 GB of daily
+    # fields in flight, so a thread pool (tried; the reference's dask
+    # process fan-out, track/env_wind.py:93-97) thrashes memory and ran 3x
+    # SLOWER than this loop on the 6-year workspace
     stats: Dict[Tuple[int, int], np.ndarray] = {}
     lon = lat = None
     for fn_u, fn_v in zip(fns_u, fns_v):
