@@ -163,3 +163,30 @@ def test_landfalls():
     k = lf['index'][0, 0]
     assert abs(lf['lon'][0, 0] - lon[0, 0, k]) < 1e-5
     assert lon[0, 0, k] >= 299.5
+
+
+def test_landfall_wraps_prime_meridian():
+    """Positions within half a cell of the 0/360 seam must sample the
+    wrapped land column, not clamp to the last one."""
+    cfg = CFG.replace(start_year=2016, end_year=2016)
+    T = cfg.n_steps_output
+    lon = np.full((1, 1, T), np.nan, np.float32)
+    lat = np.full((1, 1, T), np.nan, np.float32)
+    vmax = np.full((1, 1, T), np.nan, np.float32)
+    lon[0, 0, :10] = np.linspace(358.0, 359.8, 10)   # approaches the seam
+    lat[0, 0, :10] = 10.0
+    vmax[0, 0, :10] = 35.0
+    land_lon = np.arange(0.0, 360.0, 1.0)
+    land_lat = np.linspace(-90, 90, 181)
+    land = np.zeros((181, 360), np.float32)
+    land[:, 0] = 1.0                                  # land only at lon 0
+    ens = analysis.TrackEnsemble(
+        lon=lon, lat=lat, vmax=vmax, v=vmax,
+        tc_month=np.array([[9]]), tc_years=np.array([[2016]]),
+        tc_basins=np.array([['NA']]),
+        seeds_per_month=np.zeros((1, 1, 7, 12)),
+        year=np.array([2016]), basin=list(cfg.basin_ids_sorted()))
+    lf = analysis.landfalls(ens, land, land_lon, land_lat)
+    # lon 359.8 rounds to column 360 -> wraps to column 0 (land)
+    assert lf['index'][0, 0] >= 0
+    assert lf['lon'][0, 0] > 359.0

@@ -6,6 +6,13 @@ whether the XLA gather is the ceiling before attempting a Pallas kernel.
 """
 import time
 
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, 'tools'))
+sys.path.insert(0, _ROOT)
+
 import jax
 import _tpu_cache  # noqa: F401
 import jax.numpy as jnp

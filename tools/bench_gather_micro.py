@@ -1,6 +1,13 @@
 """Pure XLA gather rate on the chip: rows/s vs row width and dtype."""
 import time
 
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, 'tools'))
+sys.path.insert(0, _ROOT)
+
 import jax
 import _tpu_cache  # noqa: F401
 import jax.numpy as jnp

@@ -176,9 +176,12 @@ def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
     ii = np.clip(np.round((ens.lat - land_lat[0])
                           / (land_lat[1] - land_lat[0])), 0,
                  land_lat.size - 1)
-    jj = np.clip(np.round((ens.lon % 360.0 - land_lon[0])
-                          / (land_lon[1] - land_lon[0])), 0,
-                 land_lon.size - 1)
+    dlon = land_lon[1] - land_lon[0]
+    jj = np.round((ens.lon % 360.0 - land_lon[0]) / dlon)
+    if abs(land_lon.size * dlon - 360.0) < 1e-6:
+        jj = jj % land_lon.size          # global grid: wrap the 0/360 seam
+    else:
+        jj = np.clip(jj, 0, land_lon.size - 1)
     valid = np.isfinite(ens.lon) & np.isfinite(ens.lat)
     on_land = np.zeros(ens.lon.shape, bool)
     on_land[valid] = land[ii[valid].astype(int), jj[valid].astype(int)] >= 0.5

@@ -82,8 +82,12 @@ def compact_survivors(body: dict, n: int, k_max: int,
         'month': g(body['month']), 'basin_idx': g(body['basin_idx']),
         'valid': g(body['keep']),
     }
-    meta = {'keep': body['keep'], 'counted': body['counted'],
-            'basin_idx': body['basin_idx'], 'month': body['month']}
+    # meta is fetched on every host each batch ([n] bools/ints, tiny):
+    # constrain it too so multi-host fetches see addressable replicas
+    meta = {'keep': constrain(body['keep']),
+            'counted': constrain(body['counted']),
+            'basin_idx': constrain(body['basin_idx']),
+            'month': constrain(body['month'])}
     return tracks, meta
 
 

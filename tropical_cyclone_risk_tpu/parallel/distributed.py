@@ -32,12 +32,18 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with env-var fallback (JAX reads
     COORDINATOR_ADDRESS / cloud-TPU metadata when args are None).
-    Idempotent: safe to call when already initialized or single-host."""
+    Idempotent: a repeat call and a bare single-host call (no coordinator
+    configured anywhere) are both no-ops."""
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     except RuntimeError as e:
-        if 'already' not in str(e).lower():
+        # jax >= 0.9: 'distributed.initialize should only be called once.'
+        if 'once' not in str(e) and 'already' not in str(e).lower():
+            raise
+    except ValueError as e:
+        # single host without a coordinator address: nothing to set up
+        if 'coordinator_address' not in str(e):
             raise
 
 

@@ -93,7 +93,14 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
     util/compute.py:223-230)."""
     basin_id = basins_mod.validate_basin_id(cfg, basin_id)
     if key is None:
-        key = jax.random.key(int(time.time_ns() % (2 ** 31)))
+        # all processes must agree on the (replicated) key: broadcast the
+        # wall-clock draw from process 0 in multi-host runs
+        seed = int(time.time_ns() % (2 ** 31))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(
+                np.int32(seed)))
+        key = jax.random.key(seed)
     years = cfg.years()[:n_years] if n_years else cfg.years()
     t0 = time.time()
     metrics = obs.Metrics()
@@ -116,12 +123,14 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                  metrics.rate('tracks', 'simulate'))
     out = pipeline.concat_years(results, cfg)
 
+    # ensemble-suffixed name decided BEFORE the primary writes, so every
+    # host returns the same path (shared filesystem assumed)
+    fn = fn_tracks_duplicates(get_fn_tracks(cfg, basin_id))
     if jax.process_count() > 1 and jax.process_index() != 0:
         # multi-host: tracks are replicated; only the primary host publishes
-        return get_fn_tracks(cfg, basin_id)
+        return fn
 
     os.makedirs('%s/%s' % (cfg.output_directory, cfg.exp_name), exist_ok=True)
-    fn = fn_tracks_duplicates(get_fn_tracks(cfg, basin_id))
     write_tracks_nc(fn, out, cfg)
     # provenance snapshot (reference copies namelist.py, run.py:12)
     snap = fn[:-3] + '.config.json'
