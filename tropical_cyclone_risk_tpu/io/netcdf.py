@@ -207,6 +207,12 @@ def write(path: str,
                 arr.shape + (slen,))
             arr = chars
             dims = dims + (sdim,)
+            # xarray decodes char matrices back to unicode strings only
+            # when _Encoding is present; without it the reference notebook's
+            # `tc_basins == 'NA'` comparisons would see bytes
+            va = dict(var_attrs.get(name, {}))
+            va.setdefault('_Encoding', 'utf-8')
+            var_attrs = {**var_attrs, name: va}
         if len(dims) != arr.ndim:
             raise ValueError(f'{name}: dims {dims} do not match shape {arr.shape}')
         note_dims(dims, arr.shape)
