@@ -73,3 +73,29 @@ def test_run_tracks_year_on_mesh():
     assert yt.lon.shape[0] == 2
     assert yt.n_seeds.sum() > 0
     assert np.all(np.isfinite(yt.lon[:, 0]))
+
+
+def test_distributed_initialize_single_host_noop():
+    from tropical_cyclone_risk_tpu.parallel import distributed
+    # no coordinator configured anywhere: must be a clean no-op
+    distributed.initialize()
+    distributed.initialize()        # and idempotent
+    assert distributed.is_primary()
+    mesh = distributed.global_seed_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_run_downscaling_trace_dir(tmp_path):
+    import os
+    from tropical_cyclone_risk_tpu import runtime
+    cfg = CFG.replace(seed_batch=256, tracks_per_year=1,
+                      start_year=2016, end_year=2016,
+                      output_directory=str(tmp_path), exp_name='tr')
+    pack = synthetic_pack(cfg, n_planes=12, nlat=46, nlon=90, seed=0)
+    trace = str(tmp_path / 'trace')
+    fn = runtime.run_downscaling(cfg, 'GL', pack, key=jax.random.key(2),
+                                 n_years=1, trace_dir=trace)
+    assert os.path.exists(fn)
+    # profiler wrote something under the trace dir
+    found = [f for _, _, fs in os.walk(trace) for f in fs]
+    assert found, 'no profiler artifacts written'

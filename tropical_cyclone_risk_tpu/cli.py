@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     ap.add_argument('--ensembles', type=int, default=1,
                     help='number of ensemble members to generate (reruns '
                          'append _eN suffixes, util/compute.py:52-58)')
+    ap.add_argument('--seed', type=int, default=None,
+                    help='PRNG seed for a reproducible run (default: '
+                         'wall clock, like the reference)')
+    ap.add_argument('--trace-dir', default=None,
+                    help='write a jax.profiler trace of the simulation')
     args = ap.parse_args(argv)
 
     cfg = load_namelist_py(args.namelist) if args.namelist else Namelist()
@@ -65,9 +70,13 @@ def main(argv=None) -> int:
         from tropical_cyclone_risk_tpu.parallel import sharding
         mesh = sharding.make_mesh(args.devices)
         pack = sharding.replicate_pack(pack, mesh)
-    for _ in range(max(1, args.ensembles)):
-        runtime.run_downscaling(cfg, args.basin, pack, n_years=args.n_years,
-                                mesh=mesh)
+    import jax
+    for e in range(max(1, args.ensembles)):
+        key = (jax.random.fold_in(jax.random.key(args.seed), e)
+               if args.seed is not None else None)
+        runtime.run_downscaling(cfg, args.basin, pack, key=key,
+                                n_years=args.n_years, mesh=mesh,
+                                trace_dir=args.trace_dir)
     return 0
 
 

@@ -38,8 +38,12 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     except RuntimeError as e:
-        # jax >= 0.9: 'distributed.initialize should only be called once.'
-        if 'once' not in str(e) and 'already' not in str(e).lower():
+        # tolerated no-op cases: repeat initialization ('...should only be
+        # called once.') or jax already running single-host ('must be called
+        # before any JAX calls...')
+        msg = str(e).lower()
+        if not any(k in msg for k in ('once', 'already',
+                                      'must be called before')):
             raise
     except ValueError as e:
         # single host without a coordinator address: nothing to set up
