@@ -205,3 +205,51 @@ def test_land_masks_and_pack(workdir):
     assert ds['lon_trks'].data.shape[0] == cfg2.tracks_per_year
     months = ds['tc_month'].data
     assert np.all((months >= 1) & (months <= 2))    # only in-range months
+
+
+def test_load_reference_namelist():
+    """Drop-in compatibility: the upstream repo's own namelist.py loads
+    directly into our typed config."""
+    import pytest
+    from tropical_cyclone_risk_tpu.config import load_namelist_py
+    path = '/root/reference/namelist.py'
+    if not os.path.exists(path):
+        pytest.skip('reference snapshot not mounted')
+    cfg = load_namelist_py(path)
+    assert cfg.tracks_per_year == 20
+    assert cfg.start_year == 2016 and cfg.end_year == 2021
+    assert cfg.steering_levels == (250, 850)
+    assert cfg.basin_bounds_dict['NA'] == ('260E', '0N', '360E', '60N')
+    assert cfg.atm_bl_depth_dict['WP'] == 1800.0
+    assert cfg.var_keys['ERA5']['sst'] == 'sst'
+    assert cfg.PI_reduc == 0.8 and cfg.Ck == 1.2e-3
+
+
+def test_monthly_var_multifile(workdir, tmp_path):
+    """Variables split across multiple files concatenate in time order."""
+    import datetime
+    from tropical_cyclone_risk_tpu.io import input as tcin2
+    cfg, _, _ = workdir
+    # split the sst year file into two half-year files in a fresh dir
+    base = str(tmp_path / 'multi')
+    os.makedirs(base)
+    ds = netcdf.read(f'{cfg.base_directory}/era5_sst_2016.nc')
+    t = ds['time']
+    sst = ds['sst']
+    for part, sl in (('a', slice(0, 6)), ('b', slice(6, 12))):
+        netcdf.write(f'{base}/era5_sst_2016{part}.nc',
+                     {'sst': (('time', 'latitude', 'longitude'),
+                              sst.data[sl])},
+                     coords={'time': t.data[sl],
+                             'latitude': ds['latitude'].data,
+                             'longitude': ds['longitude'].data},
+                     var_attrs={'time': dict(t.attrs)})
+    cfg2 = cfg.replace(base_directory=base)
+    mv = tcin2.open_monthly(cfg2, 'sst')
+    assert len(mv.files) == 2
+    times, data, _ = mv.load_range(datetime.datetime(2016, 1, 1),
+                                   datetime.datetime(2016, 12, 31))
+    assert data.shape[0] == 12
+    assert tcin2.month_of(times).tolist() == list(range(1, 13))
+    np.testing.assert_allclose(np.nan_to_num(data),
+                               np.nan_to_num(sst.data), rtol=1e-6)
