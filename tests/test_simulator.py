@@ -317,3 +317,40 @@ def test_time_interp_fields():
     out = simulator.integrate(pack, cfg_ti, 'GL', y0, params,
                               jnp.ones(4, bool))
     assert np.all(np.asarray(out.alive[:, 0]))
+
+
+def test_rk_substeps_stability():
+    """rk_substeps subdivides each output interval; trajectories stay close
+    to the single-step integration (step-size sufficiency, SURVEY sec 7)."""
+    pack, params, y0 = _setup_batch()
+    out1 = simulator.integrate(pack, CFG, 'GL', y0, params,
+                               jnp.ones(4, bool))
+    out4 = simulator.integrate(pack, CFG.replace(rk_substeps=4), 'GL', y0,
+                               params, jnp.ones(4, bool))
+    both = np.asarray(out1.alive) & np.asarray(out4.alive)
+    d_v = np.abs(np.asarray(out1.v) - np.asarray(out4.v))
+    assert np.nanmax(d_v[both]) < 1.5
+
+
+def test_crop_pack_preserves_interior_samples():
+    """Basin-cropped packs return identical gathers inside the basin."""
+    from tropical_cyclone_risk_tpu.models import fields as F
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0,
+                          run_basin='NA')
+    cropped = F.crop_pack(pack, CFG, 'NA')
+    assert cropped.grid.nlon < pack.grid.nlon
+    assert cropped.grid.nlat < pack.grid.nlat
+    s_full = F.build_stacks(pack)
+    s_crop = F.build_stacks(cropped)
+    rng = np.random.default_rng(0)
+    lon = jnp.asarray(rng.uniform(262, 358, 200), jnp.float32)
+    lat = jnp.asarray(rng.uniform(2, 58, 200), jnp.float32)
+    plane = jnp.asarray(rng.integers(0, 12, 200), jnp.int32)
+    a = fast.sample_fields(s_full, lon, lat, plane)
+    b = fast.sample_fields(s_crop, lon, lat, plane)
+    for x, y in zip(a, b):
+        # float32 (x - lon0)/dlon differs in the last ulp between origins
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=1e-5)
+    # GL is a no-op
+    assert F.crop_pack(pack, CFG, 'GL') is pack

@@ -108,6 +108,44 @@ def build_stacks(pack: FieldPack) -> GatherStacks:
                         bathy4=pack_corners(pack.bathy[..., None]))
 
 
+def crop_pack(pack: FieldPack, cfg: Namelist, basin_id: str,
+              margin_deg: float = 2.5) -> FieldPack:
+    """Crop the atmospheric stacks to the run basin's bounds plus a margin.
+
+    Tracks terminate one degree outside the basin bounds
+    (simulator._events_alive; coupled_fast.py:246-256), so fields beyond
+    bounds+margin are never sampled.  The reference crops the same way when
+    building its per-basin splines (basins.transform_global_field,
+    util/basins.py:57-75).  Matters with corner packing: a 40-year global
+    cell stack is ~10 GB HBM, a basin crop ~1/6 of that.  Land/bathy/basin
+    masks keep their own grids (unaffected); GL returns the pack unchanged.
+    """
+    from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+    lo0, la0, lo1, la1 = basins_mod.basin_bounds(cfg, basin_id)
+    g = pack.grid
+    if (lo1 - lo0) >= 360.0 - g.dlon and (la1 - la0) >= 180.0 - g.dlat:
+        return pack
+    lon = g.lon_axis()
+    lat = g.lat_axis()
+    jsel = np.nonzero((lon >= lo0 - margin_deg) & (lon <= lo1 + margin_deg)
+                      )[0]
+    isel = np.nonzero((lat >= la0 - margin_deg) & (lat <= la1 + margin_deg)
+                      )[0]
+    j0, j1 = int(jsel[0]), int(jsel[-1]) + 1
+    i0, i1 = int(isel[0]), int(isel[-1]) + 1
+    new_grid = UniformGrid(float(lon[j0]), g.dlon, j1 - j0,
+                           float(lat[i0]), g.dlat, i1 - i0)
+    crop = lambda a: a[..., i0:i1, j0:j1, :]
+    repl = {'grid': new_grid, 'wind': crop(pack.wind), 'env': crop(pack.env)}
+    if pack.land_grid == pack.grid:
+        repl.update(land_grid=new_grid,
+                    land=pack.land[..., i0:i1, j0:j1])
+    if pack.bathy_grid == pack.grid:
+        repl.update(bathy_grid=new_grid,
+                    bathy=pack.bathy[..., i0:i1, j0:j1])
+    return pack._replace(**repl)
+
+
 def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:
     """The chi fudge applied when loading monthly fields
     (util/compute.py:112-115): NaN -> 5, then

@@ -101,7 +101,7 @@ def build_field_pack(cfg: Namelist, basin_id: str,
     ds_run = netcdf.read(os.path.join(cfg.mask_dir, f'{basin_id}.nc'))
     run_mask = np.asarray(ds_run['basin'].data, np.float32)
 
-    return F.FieldPack(
+    pack = F.FieldPack(
         grid=grid,
         wind=jnp.asarray(wind, jnp.float32),
         env=jnp.asarray(env),
@@ -112,3 +112,6 @@ def build_field_pack(cfg: Namelist, basin_id: str,
         mask_grid=interp.UniformGrid.from_axes(k_lon, k_lat),
         basin_masks=jnp.asarray(masks, jnp.float32),
         run_mask=jnp.asarray(run_mask, jnp.float32))
+    # single-basin runs never sample outside bounds+margin; crop the
+    # atmospheric stacks (memory: corner-packed stacks are 4x)
+    return F.crop_pack(pack, cfg, basin_id)
