@@ -34,10 +34,10 @@ DEFAULT_BASIN_BOUNDS: Dict[str, Tuple[str, str, str, str]] = {
 # Variable-name mapping per dataset type (reference: namelist.py:26-31).
 DEFAULT_VAR_KEYS: Dict[str, Dict[str, str]] = {
     'ERA5': {'sst': 'sst', 'mslp': 'sp', 'temp': 't', 'sp_hum': 'q',
-             'u': 'u', 'v': 'v', 'lvl': 'level',
+             'u': 'u', 'v': 'v', 'w': 'w', 'lvl': 'level',
              'lon': 'longitude', 'lat': 'latitude'},
     'GCM': {'sst': 'tos', 'mslp': 'psl', 'temp': 'ta', 'sp_hum': 'hus',
-            'u': 'ua', 'v': 'va', 'lvl': 'plev',
+            'u': 'ua', 'v': 'va', 'w': 'wap', 'lvl': 'plev',
             'lon': 'lon', 'lat': 'lat'},
 }
 
