@@ -170,3 +170,39 @@ def test_cape_pi_direct_inversion_mode():
                             select_thermo=2, select_interp=1)
     c = np.asarray(pi_rev)
     assert np.all(np.isfinite(c)) and c.max() > 30.0
+
+
+def test_reversible_table3_matches_direct():
+    """The 3-D reversible table agrees with direct Newton inversion (the
+    reference's entropy_table_reversible.npz + interpn path,
+    thermo/thermo.py:159-163,230)."""
+    import jax.numpy as jnp
+    from tropical_cyclone_risk_tpu.ops import pi as pi_mod
+
+    t3 = pi_mod.EntropyTable3.create()
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(2e4, 1.0e5, 50), jnp.float32)
+    rt = jnp.asarray(rng.uniform(0.0, 0.03, 50), jnp.float32)
+    T_want = thermo.invert_entropy_newton(p, jnp.full(50, 2900.0), rt,
+                                          select_thermo=2, use_pog=False)
+    T_got = t3.lookup(p, jnp.full(50, 2900.0), rt)
+    np.testing.assert_allclose(np.asarray(T_got), np.asarray(T_want),
+                               rtol=5e-3)
+
+    # full reversible PI via the 3-D table is close to direct inversion
+    p_env = jnp.asarray([101000.0, 85000.0, 60000.0, 40000.0, 25000.0,
+                         10000.0], jnp.float32)
+    sst = jnp.asarray([[302.0, 299.0]])
+    psl = jnp.asarray([[101000.0, 101000.0]])
+    Tsfc = sst - 1.0
+    T = jnp.stack([Tsfc[0] * (pp / 101000.0) ** 0.19
+                   for pp in p_env])[:, None]
+    r = jnp.stack([0.018 * jnp.exp(-(101000.0 - pp) / 25000.0)
+                   * jnp.ones(2) for pp in p_env])[:, None]
+    pi_t3 = pi_mod.cape_pi(sst, psl, p_env, T, r, t3, select_thermo=2,
+                           select_interp=2)
+    pi_direct = pi_mod.cape_pi(sst, psl, p_env, T, r, t3, select_thermo=2,
+                               select_interp=1)
+    np.testing.assert_allclose(np.asarray(pi_t3), np.asarray(pi_direct),
+                               rtol=0.1, atol=2.5)
+    assert np.asarray(pi_t3).max() > 30.0

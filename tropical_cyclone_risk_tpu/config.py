@@ -242,6 +242,14 @@ def load_namelist_py(path: str) -> Namelist:
     for k, v in ns.items():
         if k in fields:
             kw[k] = v
+    if 'f_mInit' in ns:
+        import warnings
+        warnings.warn(
+            'namelist defines f_mInit (a lambda); this framework uses the '
+            'fixed sigmoid m_init_amp/(1+exp(-(rh-m_init_mid)*m_init_slope))'
+            '+m_init_base instead — set those fields to match your lambda '
+            '(defaults replicate the reference, namelist.py:94)',
+            stacklevel=2)
     if 'basin_bounds' in ns:
         kw['basin_bounds'] = _freeze({k: tuple(v)
                                       for k, v in ns['basin_bounds'].items()})

@@ -34,21 +34,29 @@ def _extrapolate_nan_tail(x):
     return jnp.moveaxis(filled, 0, -1)
 
 
-def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds):
+def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds,
+                    cfg=None):
     """Maximum wind from azimuthal wind + translation + shear asymmetries.
 
-    track_lon/lat/tc_v: [..., T]; env_wnds: [..., T, W] with channel order
-    (u250, v250, u850, v850).  NaN samples beyond a track's death yield NaN
-    vmax (NaN env_wnds propagate), matching the reference's NaN-padded
-    output buffers; the final valid sample gets the reference's edge
-    extrapolation rather than NaN.
+    track_lon/lat/tc_v: [..., T]; env_wnds: [..., T, W] in
+    (u_l1, v_l1, u_l2, v_l2, ...) channel order; cfg resolves which
+    channels are the 250/850 hPa shear layers (defaults to the two-level
+    layout).  NaN samples beyond a track's death yield NaN vmax (NaN
+    env_wnds propagate), matching the reference's NaN-padded output
+    buffers; the final valid sample gets the reference's edge extrapolation
+    rather than NaN.
     """
+    if cfg is not None:
+        from tropical_cyclone_risk_tpu.models.fast import deep_layer_indices
+        iu2, iv2, iu8, iv8 = deep_layer_indices(cfg)
+    else:
+        iu2, iv2, iu8, iv8 = 0, 1, 2, 3
     utran, vtran = sphere.translational_speed(
         _extrapolate_nan_tail(track_lon), _extrapolate_nan_tail(track_lat),
         dt_track)
     G = jnp.minimum(1.0, 0.8 + 0.35 * (1.0 + jnp.tanh((track_lat - 35.0) / 10.0)))
-    u_shr = env_wnds[..., 0] - env_wnds[..., 2]
-    v_shr = env_wnds[..., 1] - env_wnds[..., 3]
+    u_shr = env_wnds[..., iu2] - env_wnds[..., iu8]
+    v_shr = env_wnds[..., iv2] - env_wnds[..., iv8]
     U_inc = G * utran + 0.1 * u_shr * tc_v / 15.0
     V_inc = G * vtran + 0.1 * v_shr * tc_v / 15.0
 

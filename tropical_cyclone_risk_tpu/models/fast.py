@@ -82,11 +82,26 @@ def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,
     return color_winds(cfg, stats, fourier, t)
 
 
+def deep_layer_indices(cfg: Namelist):
+    """Channel indices (iu250, iv250, iu850, iv850) of the deep-layer shear
+    components in the (u_l1, v_l1, u_l2, v_l2, ...) wind vector — resolved
+    by steering level like the reference's name-based deep_layer_winds
+    (track/env_wind.py:49-55), so 3-level configs keep correct shear."""
+    levels = list(cfg.steering_levels)
+    if 250 not in levels or 850 not in levels:
+        raise ValueError('deep-layer shear needs 250 and 850 hPa among '
+                         f'steering_levels, got {levels}')
+    i250 = levels.index(250)
+    i850 = levels.index(850)
+    return 2 * i250, 2 * i250 + 1, 2 * i850, 2 * i850 + 1
+
+
 def shear_magnitude(cfg: Namelist, wnds):
     """250-850 hPa shear magnitude from the sampled wind vector
-    (coupled_fast.py:115-122).  Channel order: (u250, v250, u850, v850, ...)."""
-    u_shr = wnds[:, 0] - wnds[:, 2]
-    v_shr = wnds[:, 1] - wnds[:, 3]
+    (coupled_fast.py:115-122)."""
+    iu2, iv2, iu8, iv8 = deep_layer_indices(cfg)
+    u_shr = wnds[:, iu2] - wnds[:, iu8]
+    v_shr = wnds[:, iv2] - wnds[:, iv8]
     return jnp.sqrt(u_shr ** 2 + v_shr ** 2)
 
 

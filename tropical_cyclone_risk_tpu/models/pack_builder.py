@@ -72,6 +72,10 @@ def build_field_pack(cfg: Namelist, basin_id: str,
     # 110-115)
     vpot = np.nan_to_num(vmax * cfg.PI_reduc * math.sqrt(cfg.Ck / cfg.Cd))
     chi = F.prepare_chi(chi_raw, cfg)
+    # wind stats: NaN (e.g. GCM below-orography fill) -> 0, like the
+    # reference's nan_to_num when building each wind interpolant
+    # (track/bam_track.py:74)
+    wind = np.nan_to_num(wind)
 
     # ---- monthly ocean climatologies -> atmos grid, tiled over years ----
     mld12, m_lon, m_lat = static.load_monthly_climatology(cfg.fn_mld, 'mld')

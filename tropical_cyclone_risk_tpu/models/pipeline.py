@@ -60,7 +60,7 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
     is_tc, _ = simulator.tc_filters(cfg, out)
     vmax = diagnostics.axi_to_max_wind(out.lon, out.lat,
                                        float(cfg.output_interval_s),
-                                       out.v, out.wnds)
+                                       out.v, out.wnds, cfg)
     keep = is_tc & diagnostics.vmax_filter(cfg, vmax)
     return {'keep': keep, 'counted': prop.counted, 'month': prop.month,
             'basin_idx': prop.basin_idx, 'lon': out.lon, 'lat': out.lat,

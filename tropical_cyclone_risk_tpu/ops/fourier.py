@@ -37,9 +37,7 @@ class FourierSeries(NamedTuple):
         phase = w * t if jnp.ndim(t) == 0 else w[:, None] * t[None, :]
         s = jnp.sin(phase)
         c = jnp.cos(phase)
-        if jnp.ndim(t) == 0:
-            return self.A @ s + self.B @ c
-        return self.A @ s + self.B @ c   # [..., C, Nt]
+        return self.A @ s + self.B @ c   # [..., C] (or [..., C, Nt])
 
 
 def draw_fourier(key: jax.Array, shape, T_s: float,

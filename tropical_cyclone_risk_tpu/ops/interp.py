@@ -128,9 +128,10 @@ def pack_corners(field):
 
     field [..., nlat, nlon, C] -> [..., nlat, nlon, 4*C] where channels are
     (c00, c01, c10, c11) = (y,x), (y,x+1), (y+1,x), (y+1,x+1), edge-clamped.
-    The TPU XLA gather is row-rate-bound (measured ~33 ns/row regardless of
-    width), so fetching one 4C-wide row per query beats four C-wide rows by
-    ~4x at the cost of 4x memory on this derived stack.
+    The TPU XLA gather is row-rate-bound (measured ~10-14 ns/row regardless
+    of width or dtype, tools/bench_gather_micro.py), so fetching one 4C-wide
+    row per query beats four C-wide rows by ~4x at the cost of 4x memory on
+    this derived stack.
     """
     shift_x = jnp.concatenate([field[..., 1:, :], field[..., -1:, :]],
                               axis=-2)

@@ -196,3 +196,22 @@ def gpi_en04(PI, rh, vort, S):
     API parity, uncalled in the reference pipeline)."""
     return (1e5 * jnp.abs(vort)) ** (rh / 50.0) ** 3 * (PI / 70.0) ** 3 \
         / (1.0 + 0.1 * S) ** 2
+
+
+def generate_entropy_table_reversible(pmin_hPa=25.0, pmax_hPa=1050.0,
+                                      nprs=200, smin=2337.3348599644537,
+                                      smax=3585.9052076596804, ns=200,
+                                      rtmax=0.035, nrt=16):
+    """Generate the 3-D (p, s, r_t) -> T reversible-entropy inversion table
+    (reference: entropy_table_reversible.npz, loaded at thermo/thermo.py:
+    159-163 and interpolated with interpn at :230 — the blob is absent from
+    the snapshot, so axes are chosen to span the physical range; values are
+    regenerated by Newton inversion of s_sat(select_thermo=2)).
+
+    Returns (p[nprs], s[ns], rt[nrt], T[nprs, ns, nrt])."""
+    s_look = jnp.linspace(smin, smax, ns)
+    p_look = 100.0 * jnp.linspace(pmin_hPa, pmax_hPa, nprs)
+    rt_look = jnp.linspace(0.0, rtmax, nrt)
+    P, S, R = jnp.meshgrid(p_look, s_look, rt_look, indexing='ij')
+    T = invert_entropy_newton(P, S, R, select_thermo=2, use_pog=False)
+    return p_look, s_look, rt_look, T

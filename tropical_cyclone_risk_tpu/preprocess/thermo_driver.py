@@ -74,7 +74,10 @@ def gen_thermo(cfg: Namelist,
     if os.path.exists(fn_out):
         return fn_out
     if table is None:
-        table = pi_ops.EntropyTable.create(cfg.select_thermo)
+        if cfg.select_thermo == 2 and cfg.select_interp == 2:
+            table = pi_ops.EntropyTable3.create()
+        else:
+            table = pi_ops.EntropyTable.create(cfg.select_thermo)
 
     t0, t1 = tcin.bounding_times(cfg)
     sst_t, sst, ds_sst = tcin.open_monthly(cfg, 'sst').load_range(t0, t1)

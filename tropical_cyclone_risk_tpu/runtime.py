@@ -52,10 +52,6 @@ def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
     data_vars = {
         'lon_trks': (('n_trk', 'time'), out['lon'].astype(np.float32)),
         'lat_trks': (('n_trk', 'time'), out['lat'].astype(np.float32)),
-        'u250_trks': (('n_trk', 'time'), wnds[:, :, 0].astype(np.float32)),
-        'v250_trks': (('n_trk', 'time'), wnds[:, :, 1].astype(np.float32)),
-        'u850_trks': (('n_trk', 'time'), wnds[:, :, 2].astype(np.float32)),
-        'v850_trks': (('n_trk', 'time'), wnds[:, :, 3].astype(np.float32)),
         'v_trks': (('n_trk', 'time'), out['v'].astype(np.float32)),
         'm_trks': (('n_trk', 'time'), out['m'].astype(np.float32)),
         'vmax_trks': (('n_trk', 'time'), out['vmax'].astype(np.float32)),
@@ -65,6 +61,13 @@ def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
         'seeds_per_month': (('year', 'basin', 'month'),
                             out['n_seeds'].astype(np.float64)),
     }
+    # per-steering-level wind channels named like the reference schema
+    # (u250_trks, v250_trks, u850_trks, v850_trks for the default levels)
+    for i, lvl in enumerate(cfg.steering_levels):
+        data_vars[f'u{lvl}_trks'] = (('n_trk', 'time'),
+                                     wnds[:, :, 2 * i].astype(np.float32))
+        data_vars[f'v{lvl}_trks'] = (('n_trk', 'time'),
+                                     wnds[:, :, 2 * i + 1].astype(np.float32))
     coords = {
         'n_trk': np.arange(out['lon'].shape[0], dtype=np.int32),
         'time': ts_output,
