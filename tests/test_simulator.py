@@ -354,3 +354,33 @@ def test_crop_pack_preserves_interior_samples():
                                    rtol=2e-4, atol=1e-5)
     # GL is a no-op
     assert F.crop_pack(pack, CFG, 'GL') is pack
+
+
+def test_three_level_steering_end_to_end(tmp_path):
+    """steering_levels=(250, 500, 850): 6-component wind vector through
+    seeding, integration, shear (resolved by level), and the output schema
+    (u500_trks etc.)."""
+    from tropical_cyclone_risk_tpu import runtime
+    from tropical_cyclone_risk_tpu.io import netcdf
+    cfg = CFG.replace(steering_levels=(250, 500, 850),
+                      steering_coefs=(0.1, 0.2, 0.7),
+                      y_alpha=(0.1, 0.2, 0.7), m_alpha=(0.001, 0.0, -0.001),
+                      alpha_max=(0.4, 0.4, 0.9), alpha_min=(0.05, 0.05, 0.5),
+                      seed_batch=512, tracks_per_year=1,
+                      start_year=2016, end_year=2016,
+                      output_directory=str(tmp_path), exp_name='w3')
+    pack = synthetic_pack(cfg, n_planes=12, nlat=46, nlon=90, seed=0)
+    assert pack.wind.shape[-1] == 6 + 21
+    fn = runtime.run_downscaling(pack=pack, cfg=cfg, basin_id='GL',
+                                 key=jax.random.key(3), n_years=1)
+    ds = netcdf.read(fn)
+    for nm in ('u250_trks', 'v250_trks', 'u500_trks', 'v500_trks',
+               'u850_trks', 'v850_trks'):
+        assert nm in ds, nm
+    assert np.isfinite(ds['u500_trks'].data[0, 0])
+
+    # deep_layer_indices picks 250/850, skipping 500
+    assert fast.deep_layer_indices(cfg) == (0, 1, 4, 5)
+    import pytest
+    with pytest.raises(ValueError, match='850'):
+        fast.deep_layer_indices(CFG.replace(steering_levels=(250, 500)))

@@ -172,12 +172,18 @@ def synthetic_pack(cfg: Namelist, n_planes: int = 12, nlat: int = 181,
     months = np.arange(n_planes) % 12
     seasonal = np.cos(2 * np.pi * (months[:, None, None] - 7.5) / 12.0)
 
-    # wind means: easterly trades / westerly jets, weak meridional flow
-    u250 = -8.0 + 20.0 * np.sin(np.deg2rad(LA)) ** 2 + 4.0 * seasonal
-    v250 = 2.0 * np.sin(np.deg2rad(2 * LO))[None] + 0 * seasonal
-    u850 = -5.0 + 6.0 * np.sin(np.deg2rad(LA)) ** 2 + 2.0 * seasonal
-    v850 = 1.0 * np.cos(np.deg2rad(LO))[None] + 0 * seasonal
-    means = [u250, v250, u850, v850][:W]
+    # wind means: easterly trades / westerly jets, weak meridional flow;
+    # one (u, v) pair per steering level, upper levels stronger
+    means = []
+    n_lvls = W // 2
+    for li in range(n_lvls):
+        depth = 1.0 - li / max(n_lvls - 1, 1)      # 1 at top, 0 at bottom
+        u_l = (-5.0 - 3.0 * depth
+               + (6.0 + 14.0 * depth) * np.sin(np.deg2rad(LA)) ** 2
+               + (2.0 + 2.0 * depth) * seasonal)
+        v_l = ((1.0 + depth) * np.sin(np.deg2rad((2 - li % 2) * LO))[None]
+               + 0 * seasonal)
+        means += [u_l, v_l]
 
     # covariance: diag 6-12 m2/s2 with mild cross-correlation
     n_tri = W * (W + 1) // 2
