@@ -215,7 +215,10 @@ def test_load_reference_namelist():
     path = '/root/reference/namelist.py'
     if not os.path.exists(path):
         pytest.skip('reference snapshot not mounted')
-    cfg = load_namelist_py(path)
+    # the reference namelist defines the f_mInit lambda -> loud notice that
+    # the sigmoid fields replace it
+    with pytest.warns(UserWarning, match='f_mInit'):
+        cfg = load_namelist_py(path)
     assert cfg.tracks_per_year == 20
     assert cfg.start_year == 2016 and cfg.end_year == 2021
     assert cfg.steering_levels == (250, 850)
