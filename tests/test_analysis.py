@@ -190,3 +190,13 @@ def test_landfall_wraps_prime_meridian():
     # lon 359.8 rounds to column 360 -> wraps to column 0 (land)
     assert lf['index'][0, 0] >= 0
     assert lf['lon'][0, 0] > 359.0
+
+
+def test_pdi(ensemble):
+    ens, cfg = ensemble
+    p = analysis.pdi(ens)
+    assert p.shape == (2,)
+    assert np.all(p > 0)
+    # direct check: total PDI equals sum over all finite samples
+    total = np.nansum(np.where(np.isfinite(ens.vmax), ens.vmax, 0) ** 3) * 3600
+    np.testing.assert_allclose(p.sum(), total, rtol=1e-6)

@@ -197,3 +197,16 @@ def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
                                           axis=-1)[..., 0], np.nan)
     return {'index': idx, 'vmax': sel(ens.vmax),
             'lon': sel(ens.lon), 'lat': sel(ens.lat)}
+
+
+def pdi(ens: TrackEnsemble, dt_s: float = 3600.0) -> np.ndarray:
+    """Power dissipation index per year: sum of vmax^3 dt over all track
+    samples (the interannual-variability metric of the reference's
+    validation, Lin et al. 2023 / README.md:2).  Returns [n_year] in
+    m^3 s^-2, summed across ensemble members."""
+    v3 = np.where(np.isfinite(ens.vmax), ens.vmax, 0.0) ** 3
+    per_track = v3.sum(axis=-1) * dt_s                  # [E, n_trk]
+    out = np.zeros(ens.year.size)
+    for i, y in enumerate(ens.year):
+        out[i] = per_track[ens.tc_years == y].sum()
+    return out

@@ -4,9 +4,9 @@ Reference equivalents: intensity/coupled_fast.py (Coupled_FAST: the FAST ODEs
 of Emanuel 2017 with ocean feedback and ventilation) and track/bam_track.py
 (BetaAdvectionTrack: steering-flow sampling and beta drift).  The reference
 evaluates ~20 scalar spline lookups plus one LAPACK Cholesky per RHS call per
-storm; here one RHS call advances the whole seed batch with three fused
-gathers (wind stats, environment, land/bathy) and an unrolled elementwise
-Cholesky.
+storm; here one step of the whole seed batch costs one corner-packed gather
+row per seed (wind stats + environment + land/bathy fused, see
+fields.build_stacks) and one unrolled elementwise Cholesky.
 
 State layout: y = (lon, lat, v, m), batched [N].
 """

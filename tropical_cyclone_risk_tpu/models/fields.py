@@ -13,8 +13,8 @@ with a handful of fused gathers:
 
 P indexes (year, month) planes: plane = year_idx * 12 + (month - 1).  The
 reference freezes fields at the seed month for the whole track
-(track/bam_track.py:88-91, util/compute.py:107-121), so no time interpolation
-happens inside the step loop.
+(track/bam_track.py:88-91, util/compute.py:107-121); plane-to-plane time
+interpolation is available as an extension (Namelist.time_interp_fields).
 """
 
 from __future__ import annotations
@@ -57,9 +57,8 @@ class GatherStacks(NamedTuple):
     two 4-corner gathers into one, and corner-packing (ops.interp.
     pack_corners) turns the four corner rows of each bilinear lookup into a
     single gathered row: the TPU XLA gather is row-rate-bound, so this is
-    the difference between 8+ gather rows and 2 per seed per step.
-    land/bathy fuse the same way when they share a grid (always true with
-    the proxy bathymetry).
+    the difference between 8+ gather rows and 1-2 per seed per step
+    (1 when land/bathy merge into the cell stack, see build_stacks).
     """
     grid: 'UniformGrid'
     cell4: jnp.ndarray         # [P, nlat, nlon, 4*n_cell_ch]
