@@ -256,3 +256,41 @@ def test_monthly_var_multifile(workdir, tmp_path):
     assert tcin2.month_of(times).tolist() == list(range(1, 13))
     np.testing.assert_allclose(np.nan_to_num(data),
                                np.nan_to_num(sst.data), rtol=1e-6)
+
+
+def test_cli_seed_reproducible(workdir, tmp_path, monkeypatch):
+    """Two CLI runs with the same --seed produce identical track files
+    (the reference cannot do this: wall-clock reseeding)."""
+    from tropical_cyclone_risk_tpu import cli
+    cfg, _, _ = workdir
+    cfg2 = cfg.replace(end_month=2)   # reuse the 2-month fixtures
+
+    outs = []
+    for sub in ('r1', 'r2'):
+        od = str(tmp_path / sub)
+        os.makedirs(od)
+        # CLI loads a namelist file; write one pointing at the fixtures
+        nl = str(tmp_path / f'nl_{sub}.py')
+        with open(nl, 'w') as f:
+            for k in ('base_directory', 'fn_land', 'fn_bathy', 'fn_mld',
+                      'fn_strat', 'mask_dir', 'exp_prefix', 'dataset_type'):
+                f.write(f'{k} = {getattr(cfg2, k)!r}\n')
+            f.write(f'output_directory = {od!r}\n')
+            f.write("exp_name = 'seedtest'\n")
+            f.write('start_year = 2016\nstart_month = 1\n')
+            f.write('end_year = 2016\nend_month = 2\n')
+            f.write('tracks_per_year = 2\nseed_batch = 512\n')
+        # reuse existing preprocessing outputs (idempotent stage contract)
+        import shutil
+        if not os.path.exists(winds.get_env_wnd_fn(cfg2)):
+            pytest.skip('2-month fixtures not built '
+                        '(run the full module: test_land_masks_and_pack)')
+        shutil.copy(winds.get_env_wnd_fn(cfg2), od)
+        shutil.copy(thermo_driver.get_fn_thermo(cfg2), od)
+        assert cli.main(['GL', '--namelist', nl, '--seed', '99']) == 0
+        outs.append(f'{od}/seedtest/tracks_GL_era5_201601_201602.nc')
+
+    a = netcdf.read(outs[0])
+    b = netcdf.read(outs[1])
+    for k in ('lon_trks', 'v_trks', 'vmax_trks', 'seeds_per_month'):
+        np.testing.assert_array_equal(a[k].data, b[k].data)
