@@ -294,3 +294,32 @@ def test_cli_seed_reproducible(workdir, tmp_path, monkeypatch):
     b = netcdf.read(outs[1])
     for k in ('lon_trks', 'v_trks', 'vmax_trks', 'seeds_per_month'):
         np.testing.assert_array_equal(a[k].data, b[k].data)
+
+
+def test_cli_devices_mesh(workdir, tmp_path):
+    """CLI --devices 8: the full pipeline through the seed-sharded mesh."""
+    from tropical_cyclone_risk_tpu import cli
+    cfg, _, _ = workdir
+    cfg2 = cfg.replace(end_month=2)
+    if not os.path.exists(winds.get_env_wnd_fn(cfg2)):
+        pytest.skip('2-month fixtures not built')
+    od = str(tmp_path / 'mesh8')
+    os.makedirs(od)
+    nl = str(tmp_path / 'nl_mesh.py')
+    with open(nl, 'w') as f:
+        for k in ('base_directory', 'fn_land', 'fn_bathy', 'fn_mld',
+                  'fn_strat', 'mask_dir', 'exp_prefix', 'dataset_type'):
+            f.write(f'{k} = {getattr(cfg2, k)!r}\n')
+        f.write(f'output_directory = {od!r}\n')
+        f.write("exp_name = 'mesh'\n")
+        f.write('start_year = 2016\nstart_month = 1\n')
+        f.write('end_year = 2016\nend_month = 2\n')
+        f.write('tracks_per_year = 2\nseed_batch = 512\n')
+    import shutil
+    shutil.copy(winds.get_env_wnd_fn(cfg2), od)
+    shutil.copy(thermo_driver.get_fn_thermo(cfg2), od)
+    assert cli.main(['GL', '--namelist', nl, '--devices', '8',
+                     '--seed', '4']) == 0
+    ds = netcdf.read(f'{od}/mesh/tracks_GL_era5_201601_201602.nc')
+    assert ds['lon_trks'].data.shape[0] == 2
+    assert np.all(np.isfinite(ds['lon_trks'].data[:, 0]))
