@@ -51,9 +51,10 @@ def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds,
         iu2, iv2, iu8, iv8 = deep_layer_indices(cfg)
     else:
         iu2, iv2, iu8, iv8 = 0, 1, 2, 3
-    utran, vtran = sphere.translational_speed(
-        _extrapolate_nan_tail(track_lon), _extrapolate_nan_tail(track_lat),
-        dt_track)
+    # one fused fill scan for both coordinates (they share the NaN tail)
+    pos = jnp.stack([track_lon, track_lat], axis=0)
+    pos = _extrapolate_nan_tail(pos)
+    utran, vtran = sphere.translational_speed(pos[0], pos[1], dt_track)
     G = jnp.minimum(1.0, 0.8 + 0.35 * (1.0 + jnp.tanh((track_lat - 35.0) / 10.0)))
     u_shr = env_wnds[..., iu2] - env_wnds[..., iu8]
     v_shr = env_wnds[..., iv2] - env_wnds[..., iv8]
