@@ -54,3 +54,50 @@ def test_distributional_stability_across_keys():
     assert ks_2samp(lat_a, lat_b).pvalue > 0.01
     # physical sanity of the LMI population
     assert 18.0 <= np.median(np.concatenate([lmi_a, lmi_b])) <= 90.0
+
+
+def test_year_slice_parity_and_single_compile():
+    """run_tracks_year slices the pack to the year's 12 planes: year 1 of a
+    24-plane pack must equal year 0 of a pack holding only planes 12..23,
+    and both must hit the same compiled executable (one launch shape per
+    grid regardless of year count)."""
+    cfg = Namelist(seed_batch=2048)
+    pack24 = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
+    pack12 = pack24._replace(wind=pack24.wind[12:24], env=pack24.env[12:24])
+
+    key = jax.random.key(77)
+    before = pipeline._simulate_batch._cache_size()
+    yt_a = pipeline.run_tracks_year(key, pack24, cfg, 'GL', 1, n_tracks=3)
+    mid = pipeline._simulate_batch._cache_size()
+    yt_b = pipeline.run_tracks_year(key, pack12, cfg, 'GL', 0, n_tracks=3)
+    after = pipeline._simulate_batch._cache_size()
+    assert mid - before == 1, 'first year should compile exactly once'
+    assert after == mid, 'second year must reuse the compiled launch'
+
+    np.testing.assert_array_equal(yt_a.month, yt_b.month)
+    np.testing.assert_array_equal(yt_a.n_seeds, yt_b.n_seeds)
+    np.testing.assert_allclose(yt_a.lon, yt_b.lon, rtol=0, atol=0)
+    np.testing.assert_allclose(yt_a.vmax, yt_b.vmax, rtol=0, atol=0)
+
+
+def test_year_slice_out_of_range_months_rejected():
+    """Months outside the configured data range integrate=False via the
+    vpot-zero padding (reference: out-of-range time interp -> NaN -> vpot 0
+    -> PI gate, util/compute.py:107-121)."""
+    from tropical_cyclone_risk_tpu.models import fields as F
+    from tropical_cyclone_risk_tpu.models import seeding
+    cfg = Namelist(seed_batch=512, end_year=2017, end_month=6)
+    # 18 planes: 2016-01 .. 2017-06
+    pack = synthetic_pack(cfg, n_planes=18, nlat=91, nlon=180, seed=0)
+    sub = F.slice_pack_year(pack, cfg, 1)
+    assert sub.n_planes == 12
+    # planes 0..5 (months 1-6) match the parent; 6..11 have vpot zeroed
+    np.testing.assert_array_equal(np.asarray(sub.env[:6]),
+                                  np.asarray(pack.env[12:18]))
+    assert float(jnp.abs(sub.env[6:, ..., F.VPOT]).max()) == 0.0
+    prop = seeding.propose_seeds(jax.random.key(3), sub, cfg, 'GL', 512,
+                                 jnp.int32(cfg.start_month - 1))
+    month = np.asarray(prop.month)
+    integ = np.asarray(prop.integrate)
+    assert not integ[month > 6].any()
+    assert integ[month <= 6].any()

@@ -145,6 +145,33 @@ def crop_pack(pack: FieldPack, cfg: Namelist, basin_id: str,
     return pack._replace(**repl)
 
 
+def slice_pack_year(pack: FieldPack, cfg: Namelist, year_idx: int
+                    ) -> FieldPack:
+    """The 12 calendar-month planes of one simulated year.
+
+    The launch program's compiled shape depends on the plane count, so a
+    multi-year pack would compile a fresh executable per year range; slicing
+    every year to a fixed 12-plane window (local plane = month - 1, i.e.
+    seeding plane_offset = start_month - 1) makes every year of every run
+    reuse ONE compiled launch per grid.  Months outside the configured data
+    range (before start_month in year 0, after end_month in the last year)
+    get a clamped plane with vpot zeroed, so the PI gate rejects them exactly
+    like the reference's out-of-range time interpolation (NaN -> vpot 0,
+    util/compute.py:107-121).
+    """
+    P_ = pack.n_planes
+    base = year_idx * 12 + 1 - cfg.start_month
+    gl = base + np.arange(12)
+    valid = (gl >= 0) & (gl < P_)
+    idx = jnp.asarray(np.clip(gl, 0, P_ - 1))
+    wind = jnp.take(pack.wind, idx, axis=0)
+    env = jnp.take(pack.env, idx, axis=0)
+    if not valid.all():
+        vmask = jnp.asarray(valid.astype(np.float32))[:, None, None]
+        env = env.at[..., VPOT].multiply(vmask)
+    return pack._replace(wind=wind, env=env)
+
+
 def prepare_chi(chi_raw: np.ndarray, cfg: Namelist) -> np.ndarray:
     """The chi fudge applied when loading monthly fields
     (util/compute.py:112-115): NaN -> 5, then

@@ -117,6 +117,12 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     N = cfg.seed_batch
     k_max = min(n_tracks, N)
 
+    # one compiled launch shape for every year of every run: slice the pack
+    # to this year's 12 calendar-month planes (fields.slice_pack_year)
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    pack = fields_mod.slice_pack_year(pack, cfg, year_idx)
+    plane_off = jnp.int32(cfg.start_month - 1)
+
     rows: List[dict] = []
     meta_counted: List[np.ndarray] = []
     meta_basin: List[np.ndarray] = []
@@ -128,11 +134,10 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
         if mesh is not None:
             from tropical_cyclone_risk_tpu.parallel import sharding
             tracks, meta = sharding.simulate_batch_sharded(
-                mesh, bkey, pack, cfg, basin_id, N, k_max,
-                jnp.int32(year_idx * 12))
+                mesh, bkey, pack, cfg, basin_id, N, k_max, plane_off)
         else:
             tracks, meta = _simulate_batch(bkey, pack, cfg, basin_id, N,
-                                           k_max, jnp.int32(year_idx * 12))
+                                           k_max, plane_off)
         keep = np.asarray(meta['keep'])
         meta_counted.append(np.asarray(meta['counted']))
         meta_basin.append(np.asarray(meta['basin_idx']))
