@@ -33,7 +33,9 @@ def write_year(base, year, rng):
     tattrs = {'units': 'hours since 1900-01-01 00:00:00.0'}
 
     seasonal = np.cos(2 * np.pi * (np.arange(12)[:, None, None] - 7.5) / 12)
-    warm = 0.3 * (year - 2016)            # mild warming trend
+    # mild warming trend (~0.7 K over 45 y; anchored mid-record so early
+    # decades stay warm enough for genesis)
+    warm = 0.015 * (year - 2000)
     sst = (302.0 + warm - 30.0 * (LA / 90.0) ** 2 + 1.5 * seasonal
            + 0.3 * rng.standard_normal((12, NLAT, NLON))).astype(np.float32)
     sst = np.where(land[None] > 0, np.nan, sst)
