@@ -323,3 +323,17 @@ def test_cli_devices_mesh(workdir, tmp_path):
     ds = netcdf.read(f'{od}/mesh/tracks_GL_era5_201601_201602.nc')
     assert ds['lon_trks'].data.shape[0] == 2
     assert np.all(np.isfinite(ds['lon_trks'].data[:, 0]))
+
+
+def test_gen_thermo_chunking_equivalence(workdir, tmp_path):
+    """Month-chunked dispatch (with edge padding of the last chunk) must
+    reproduce the single-chunk output exactly."""
+    cfg, _, _ = workdir
+    fn_ref = thermo_driver.gen_thermo(cfg)          # cached 12-month output
+    v_ref, c_ref, r_ref, *_ = thermo_driver.read_thermo(fn_ref)
+    cfg5 = cfg.replace(output_directory=str(tmp_path))
+    fn5 = thermo_driver.gen_thermo(cfg5, month_chunk=5)   # 5+5+2(pad 3)
+    v5, c5, r5, *_ = thermo_driver.read_thermo(fn5)
+    np.testing.assert_array_equal(v_ref, v5)
+    np.testing.assert_array_equal(c_ref, c5)
+    np.testing.assert_array_equal(r_ref, r5)

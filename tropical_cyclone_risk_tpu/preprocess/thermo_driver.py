@@ -46,11 +46,13 @@ def compute_thermo_month(cfg: Namelist, table: pi_ops.EntropyTable,
                          lvl_pa: np.ndarray, ta: jnp.ndarray,
                          hus: jnp.ndarray
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One month: (vmax, chi, rh_mid) on the atmospheric grid
+    """(vmax, chi, rh_mid) on the atmospheric grid
     (thermo/calc_thermo.py:39-74).
 
-    sst_k [nlat, nlon] K (already regridded); psl [nlat, nlon] Pa;
-    ta/hus [L, nlat, nlon] with surface level first; lvl_pa [L] Pa.
+    sst_k [..., nlat, nlon] K (already regridded); psl [..., nlat, nlon] Pa;
+    ta/hus [L, ..., nlat, nlon] with surface level first; lvl_pa [L] Pa.
+    Any leading batch axes (e.g. a month chunk) broadcast straight through —
+    every operation here is per-column.
     """
     vmax = pi_ops.cape_pi(sst_k, psl, jnp.asarray(lvl_pa, jnp.float32),
                           ta, hus, table,
@@ -67,9 +69,13 @@ def compute_thermo_month(cfg: Namelist, table: pi_ops.EntropyTable,
 
 
 def gen_thermo(cfg: Namelist,
-               table: Optional[pi_ops.EntropyTable] = None) -> str:
+               table: Optional[pi_ops.EntropyTable] = None,
+               month_chunk: int = 24) -> str:
     """Compute and write the monthly thermo file; idempotent
-    (thermo/calc_thermo.py:78-117)."""
+    (thermo/calc_thermo.py:78-117).
+
+    month_chunk: months batched per device dispatch (one compiled shape;
+    trade HBM footprint against dispatch count)."""
     fn_out = get_fn_thermo(cfg)
     if os.path.exists(fn_out):
         return fn_out
@@ -110,21 +116,37 @@ def gen_thermo(cfg: Namelist,
     lat_s, (sst,) = fix_lat(lat_s, (sst,), 1)
     lat_a_asc, (psl_a, ta_a, hus_a) = fix_lat(lat_a, (psl, ta, hus), -2)
 
+    # months are independent columns: batch them through ONE compiled
+    # program in fixed-size chunks (the last chunk is edge-padded so every
+    # dispatch reuses the same executable).  Replaces a per-month dispatch
+    # loop that cost one device program per month.
+    M = min(month_chunk, n_t)
     vmax = np.zeros((n_t,) + (lat_a.size, lon_a.size), np.float32)
     chi = np.zeros_like(vmax)
     rh = np.zeros_like(vmax)
-    for i in range(n_t):
-        s = np.nan_to_num(np.asarray(sst[i], np.float32))
+    for c0 in range(0, n_t, M):
+        c1 = min(c0 + M, n_t)
+        s = np.nan_to_num(np.asarray(sst[c0:c1], np.float32))
         if needs_regrid:
-            s = np.asarray(interp.regrid(s, lon_s, lat_s, lon_a, lat_a_asc))
+            s = np.stack([np.asarray(interp.regrid(
+                s[i], lon_s, lat_s, lon_a, lat_a_asc))
+                for i in range(s.shape[0])])
         if celsius:
             s = s + 273.15
+        pad = M - (c1 - c0)
+        padded = lambda a: (np.concatenate(
+            [a, np.repeat(a[-1:], pad, axis=0)]) if pad else a)
+        ta_c = np.moveaxis(padded(ta_a[c0:c1]), 1, 0)   # [L, M, lat, lon]
+        hus_c = np.moveaxis(padded(hus_a[c0:c1]), 1, 0)
         v_i, c_i, r_i = compute_thermo_month(
-            cfg, table, jnp.asarray(s), jnp.asarray(psl_a[i], jnp.float32),
-            lvl_pa, jnp.asarray(ta_a[i], jnp.float32),
-            jnp.asarray(hus_a[i], jnp.float32))
-        vmax[i], chi[i], rh[i] = (np.asarray(v_i), np.asarray(c_i),
-                                  np.asarray(r_i))
+            cfg, table, jnp.asarray(padded(s)),
+            jnp.asarray(padded(psl_a[c0:c1]), jnp.float32),
+            lvl_pa, jnp.asarray(ta_c, jnp.float32),
+            jnp.asarray(hus_c, jnp.float32))
+        n_c = c1 - c0
+        vmax[c0:c1] = np.asarray(v_i)[:n_c]
+        chi[c0:c1] = np.asarray(c_i)[:n_c]
+        rh[c0:c1] = np.asarray(r_i)[:n_c]
 
     # undo the ingestion flip so the file matches the source grid exactly
     if lat_a[0] > lat_a[-1]:
