@@ -157,3 +157,86 @@ def test_golden_polar_cutoff():
     d, wnds = fast.rhs_from_sample(CFG, jnp.asarray(0.0), y, params, smp)
     assert float(d.lon[0]) == 0.0 and float(d.lat[0]) == 0.0
     assert np.all(np.asarray(wnds) == 0.0)
+
+
+def test_init_m_dvdt0_golden():
+    """m initialization by dv/dt=0 inversion incl. the 5-point vpot max
+    (coupled_fast.py:152-167) vs a scalar float64 spline re-derivation."""
+    from scipy.interpolate import RectBivariateSpline
+    from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
+
+    cfg = CFG
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    n = 6
+    lon = jnp.asarray(np.linspace(150.0, 210.0, n), jnp.float32)
+    lat = jnp.asarray(np.linspace(8.0, 30.0, n), jnp.float32)
+    v = jnp.asarray(np.linspace(4.0, 9.0, n), jnp.float32)
+    plane = jnp.full((n,), 7, jnp.int32)
+    h_bl = jnp.full((n,), 1600.0, jnp.float32)
+    # zero Fourier coefficients -> colored winds == monthly means on both
+    # sides (coloring itself is covered by the RHS golden tests)
+    W = cfg.n_wind_levels
+    fz = FourierSeries(jnp.zeros((n, W, N_FOURIER)),
+                       jnp.zeros((n, W, N_FOURIER)),
+                       jnp.asarray(cfg.T_fourier_s))
+    params = fast.SeedParams(plane=plane, h_bl=h_bl, fourier=fz)
+    got = np.asarray(fast.init_m_dvdt0(pack, cfg, lon, lat, v, params))
+
+    g = pack.grid
+    p = 7
+    spl = lambda f: RectBivariateSpline(g.lon_axis(), g.lat_axis(),
+                                        np.asarray(f).T, kx=1, ky=1)
+    f_env = [spl(pack.env[p, :, :, c]) for c in range(5)]
+    f_wnd = [spl(pack.wind[p, :, :, c])
+             for c in range(np.asarray(pack.wind).shape[-1])]
+    f_land = spl(pack.land)
+    f_bathy = spl(pack.bathy)
+
+    for i in range(n):
+        lo, la, vv = float(lon[i]), float(lat[i]), float(v[i])
+        mean = np.array([f_wnd[c].ev(lo, la) for c in range(W)])
+        a = np.clip(np.array(cfg.y_alpha)
+                    + np.array(cfg.m_alpha) * vv * 1.94384,
+                    cfg.alpha_min, cfg.alpha_max)
+        clat = np.cos(np.deg2rad(la))
+        u_bam = a @ mean[0::2] + cfg.u_beta * clat
+        v_bam = a @ mean[1::2] + np.sign(la) * cfg.v_beta * clat
+        u_T = np.hypot(u_bam, v_bam)
+
+        def vp(lo_, la_):
+            if f_land.ev(lo_, la_) >= 1.0 - 1e-5:
+                return 0.0
+            return float(f_env[1].ev(lo_, la_))
+        vpot5 = max(vp(lo, la), vp(lo - .25, la - .25), vp(lo - .25, la + .25),
+                    vp(lo + .25, la - .25), vp(lo + .25, la + .25))
+        mld = float(f_env[2].ev(lo, la))
+        strat = float(f_env[3].ev(lo, la))
+        bathy = float(f_bathy.ev(lo, la))
+        vpot_c = vp(lo, la)
+        if bathy >= 0 or -mld <= bathy or strat == 0:
+            alpha = 1.0
+        else:
+            z = 0.01 * strat ** -0.4 * mld * u_T * vpot_c / vv
+            alpha = 1 - 0.87 * np.exp(-np.clip(z, 0, 100))
+        gamma = EPS + alpha * KAP
+        want = np.clip(np.cbrt(vv ** 2 / (alpha * BET * vpot5 ** 2
+                                          + gamma * vv ** 2)), 0, 1)
+        np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=2e-3)
+
+
+def test_init_m_dvdt0_pipeline_mode():
+    """cfg.m_init_mode='dvdt0' runs the full launch and changes m_init."""
+    import jax
+    from tropical_cyclone_risk_tpu.models import pipeline
+    from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
+    cfg = CFG.replace(seed_batch=1024, tracks_per_year=2)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    yt_rh = pipeline.run_tracks_year(jax.random.key(11), pack, cfg, 'GL', 0)
+    cfg2 = cfg.replace(m_init_mode='dvdt0')
+    yt_dv = pipeline.run_tracks_year(jax.random.key(11), pack, cfg2, 'GL', 0)
+    assert yt_dv.m.shape[0] == 2
+    m0_rh = yt_rh.m[:, 0]
+    m0_dv = yt_dv.m[:, 0]
+    assert np.all((m0_dv >= 0) & (m0_dv <= 1))
+    # the two initialization modes genuinely differ
+    assert not np.allclose(np.sort(m0_rh), np.sort(m0_dv), atol=1e-3)

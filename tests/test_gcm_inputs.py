@@ -114,3 +114,26 @@ def test_gcm_thermo(gcm_cfg):
     # degC -> K conversion happened: tropical PI is substantial
     assert np.nanmax(vmax[0, np.abs(LAT) < 25]) > 40.0
     assert np.all((rh >= 0) & (rh <= 1))
+
+
+def test_noleap_decode_vectorized_scale():
+    """45 years of daily noleap timestamps decode correctly (and fast —
+    no per-element Python loop; prerequisite for daily CMIP6 ua/va)."""
+    import time
+    from tropical_cyclone_risk_tpu.io import input as tcin
+    days = np.arange(45 * 365, dtype=np.float64)      # days since 1979-01-01
+    t0 = time.time()
+    out = tcin.decode_time(days, 'days since 1979-1-1', 'noleap')
+    elapsed = time.time() - t0
+    assert elapsed < 0.5, f'noleap decode too slow: {elapsed:.2f}s'
+    assert out[0] == np.datetime64('1979-01-01', 's')
+    assert out[31] == np.datetime64('1979-02-01', 's')
+    assert out[365] == np.datetime64('1980-01-01', 's')   # no leap day
+    # day 59 of a noleap year is March 1 even in Gregorian leap year 1980
+    assert out[365 + 59] == np.datetime64('1980-03-01', 's')
+    assert out[-1] == np.datetime64('2023-12-31', 's')
+    # sub-daily offsets survive
+    out2 = tcin.decode_time(np.array([0.5, 400.25]), 'days since 2000-1-1',
+                            '365_day')
+    assert out2[0] == np.datetime64('2000-01-01T12:00:00', 's')
+    assert out2[1] == np.datetime64('2001-02-05T06:00:00', 's')

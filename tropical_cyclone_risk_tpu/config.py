@@ -149,6 +149,11 @@ class Namelist:
     # freeze storm positions (intensity-only integration) — the reference's
     # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
     debug_fixed_position: bool = False
+    # seed moisture initialization: 'rh' = the RH sigmoid (the reference
+    # pipeline's f_mInit path, util/compute.py:172-174, default) or 'dvdt0'
+    # = inversion of dv/dt = 0 with the 5-point vpot max (the reference's
+    # gen_track fallback when no m is supplied, coupled_fast.py:152-167)
+    m_init_mode: str = 'rh'
 
     # -------------------- derived helpers --------------------
     @property

@@ -83,14 +83,15 @@ def decode_time(values: np.ndarray, units: str, cal: str = 'standard'
         doy = days - year * 365
         month = np.searchsorted(_NOLEAP_CUM, doy, side='right')
         dom = doy - _NOLEAP_CUM[month - 1] + 1
-        out = np.empty(vals.shape, 'datetime64[s]')
-        flat_out = out.reshape(-1)
-        for i, (yy, mm, dd, ss) in enumerate(zip(
-                year.reshape(-1), month.reshape(-1), dom.reshape(-1),
-                secs.reshape(-1))):
-            flat_out[i] = (np.datetime64(f'{yy:04d}-{mm:02d}-{dd:02d}', 's')
-                           + np.timedelta64(int(ss), 's'))
-        return out
+        # vectorized (year, month, day, sec) -> datetime64[s]: daily axes of
+        # multi-decade CMIP6 files are ~16k timestamps, so no Python loop
+        y64 = (year - 1970).astype('timedelta64[Y]') + np.datetime64('1970',
+                                                                     'Y')
+        m64 = y64.astype('datetime64[M]') + (month - 1).astype(
+            'timedelta64[M]')
+        d64 = m64.astype('datetime64[D]') + (dom - 1).astype('timedelta64[D]')
+        return (d64.astype('datetime64[s]')
+                + secs.astype('timedelta64[s]')).reshape(vals.shape)
     raise ValueError(f'unsupported calendar: {cal!r}')
 
 

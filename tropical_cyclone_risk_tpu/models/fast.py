@@ -180,6 +180,21 @@ def sample_fields_at_time(stacks: F.GatherStacks, cfg: Namelist, lon, lat,
         s0.bathy + tau * (s1.bathy - s0.bathy))
 
 
+def bam_velocity(cfg: Namelist, lat, v, wnds_raw):
+    """Beta-advection velocity with the polar hard stop
+    (track/bam_track.py:131-144).  Returns (u_bam, v_bam, wnds)."""
+    polar = jnp.abs(lat) >= 80.0
+    wnds = jnp.where(polar[:, None], 0.0, wnds_raw)
+    coefs = steering_coefs(cfg, v)
+    w_lat = jnp.cos(jnp.deg2rad(lat))
+    u_steer = jnp.einsum('nl,nl->n', wnds[:, 0::2], coefs)
+    v_steer = jnp.einsum('nl,nl->n', wnds[:, 1::2], coefs)
+    u_bam = jnp.where(polar, 0.0, u_steer + cfg.u_beta * w_lat)
+    v_bam = jnp.where(polar, 0.0,
+                      v_steer + jnp.sign(lat) * cfg.v_beta * w_lat)
+    return u_bam, v_bam, wnds
+
+
 def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
                     smp: FieldSample, wnds_raw) -> Tuple[State, jnp.ndarray]:
     """Coupled tendency (coupled_fast.py:196-207) given gathered fields and
@@ -191,18 +206,7 @@ def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
     land_val = smp.land
     bathy_val = smp.bathy
 
-    # hard stop poleward of 80 deg (track/bam_track.py:131-135)
-    polar = jnp.abs(lat) >= 80.0
-    wnds = jnp.where(polar[:, None], 0.0, wnds_raw)
-
-    coefs = steering_coefs(cfg, v)
-    w_lat = jnp.cos(jnp.deg2rad(lat))
-    u_steer = jnp.einsum('nl,nl->n', wnds[:, 0::2], coefs)
-    v_steer = jnp.einsum('nl,nl->n', wnds[:, 1::2], coefs)
-    u_bam = jnp.where(polar, 0.0, u_steer + cfg.u_beta * w_lat)
-    v_bam = jnp.where(polar, 0.0,
-                      v_steer + jnp.sign(lat) * cfg.v_beta * w_lat)
-
+    u_bam, v_bam, wnds = bam_velocity(cfg, lat, v, wnds_raw)
     u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
     alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v)
     gamma = EPSILON + alpha * KAPPA
@@ -217,7 +221,7 @@ def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
     dmdt = ck_2h * ((1 - m) * v - venti * m)
 
     rad = 180.0 / jnp.pi / constants.earth_R
-    dlon = u_bam * rad / w_lat
+    dlon = u_bam * rad / jnp.cos(jnp.deg2rad(lat))
     dlat = v_bam * rad
     if cfg.debug_fixed_position:
         # intensity-only integration (coupled_fast.py:204-205)
@@ -241,6 +245,43 @@ def rhs(stacks: F.GatherStacks, cfg: Namelist, t, y: State,
     Returns (dy/dt as a State of tendencies, sampled winds [N, W])."""
     smp = sample_fields_at_time(stacks, cfg, y.lon, y.lat, params.plane, t)
     return rhs_from_sample(cfg, t, y, params, smp)
+
+
+def init_m_dvdt0(pack: F.FieldPack, cfg: Namelist, lon, lat, v,
+                 params: SeedParams, dvdt=0.0):
+    """m initialization by dv/dt = dvdt inversion (coupled_fast.py:152-167),
+    the reference's fallback when ``gen_track`` receives no m:
+
+        m = clip(cbrt((2 h_bl/Ck dvdt + v^2)
+                      / (alpha beta vpot_5^2 + gamma v^2)), 0, 1)
+
+    with vpot_5 the max of the (land-zeroed) potential intensity over the
+    seed point and the four (+/-0.25 deg, +/-0.25 deg) corners, and alpha
+    evaluated with the BAM translation speed at t=0.  Batched [N]."""
+    stats = interp.bilinear(pack.wind, pack.grid, lon, lat, params.plane)
+    wnds = color_winds(cfg, stats, params.fourier, jnp.asarray(0.0))
+    u_bam, v_bam, _ = bam_velocity(cfg, lat, v, wnds)
+    u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
+
+    def vpot_at(lo, la):
+        env = interp.bilinear(pack.env, pack.grid, lo, la, params.plane)
+        land = interp.bilinear_scalar(pack.land, pack.land_grid, lo, la)
+        return jnp.where(_is_land(land), 0.0, env[:, F.VPOT])
+
+    vpot5 = vpot_at(lon, lat)
+    for dx, dy in ((-0.25, -0.25), (-0.25, 0.25), (0.25, -0.25),
+                   (0.25, 0.25)):
+        vpot5 = jnp.maximum(vpot5, vpot_at(lon + dx, lat + dy))
+
+    env_c = interp.bilinear(pack.env, pack.grid, lon, lat, params.plane)
+    land_c = interp.bilinear_scalar(pack.land, pack.land_grid, lon, lat)
+    bathy_c = interp.bilinear_scalar(pack.bathy, pack.bathy_grid, lon, lat)
+    alpha, _ = ocean_alpha(cfg, env_c, land_c, bathy_c, u_T, v)
+    gamma = EPSILON + alpha * KAPPA
+
+    numer = 2.0 * params.h_bl / cfg.Ck * dvdt + v ** 2
+    denom = alpha * BETA * vpot5 ** 2 + gamma * v ** 2
+    return jnp.clip(jnp.cbrt(numer / denom), 0.0, 1.0)
 
 
 def ventilation_index_reject(stacks: F.GatherStacks, cfg: Namelist,

@@ -54,8 +54,11 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
     fs = fourier.draw_fourier(k_fourier, (n, cfg.n_wind_levels),
                               cfg.T_fourier_s)
     params = fast.SeedParams(plane=prop.plane, h_bl=prop.h_bl, fourier=fs)
-    out = simulator.integrate(pack, cfg, basin_id,
-                              seeding.initial_state(prop), params,
+    state = seeding.initial_state(prop)
+    if cfg.m_init_mode == 'dvdt0':
+        state = state._replace(m=fast.init_m_dvdt0(
+            pack, cfg, state.lon, state.lat, state.v, params))
+    out = simulator.integrate(pack, cfg, basin_id, state, params,
                               prop.integrate)
     is_tc, _ = simulator.tc_filters(cfg, out)
     vmax = diagnostics.axi_to_max_wind(out.lon, out.lat,
