@@ -84,16 +84,29 @@ def seasonal_cycle(ens: TrackEnsemble, basin_id: str) -> np.ndarray:
 
 
 def interannual_frequency(ens: TrackEnsemble, basin_id: str,
-                          tracks_per_year: int,
-                          obs_tracks_per_year: float
+                          tracks_per_year: Optional[int] = None,
+                          obs_tracks_per_year: float = 1.0
                           ) -> Tuple[np.ndarray, float]:
     """Calibrated yearly storm frequency (notebook cell 11).
 
-    gamma(year) = tracks_per_year / total seeds needed that year;
-    c = obs / mean(gamma);  returns (c * gamma [n_year], c)."""
+    gamma(year) = tracks generated that year / total seeds needed that year;
+    c = obs / mean(gamma);  returns (c * gamma [n_year], c).
+
+    The track count is taken from the data itself (tc_years/tc_basins), so
+    runs with --n-years truncation or an unfilled quota scale correctly;
+    pass tracks_per_year only to force the notebook's constant-quota form.
+    """
     b = ens.basin.index(basin_id)
     seeds_per_year = ens.seeds_per_month.sum(axis=(0, 3))[:, b]
-    gamma = tracks_per_year / seeds_per_year
+    if tracks_per_year is not None:
+        n_tracks = np.full(ens.year.size, float(tracks_per_year)
+                           * ens.n_ensemble)
+    else:
+        in_basin = ens.tc_basins == basin_id
+        n_tracks = np.array([(in_basin & (ens.tc_years == y)).sum()
+                             for y in ens.year], float)
+    # both numerator and denominator are summed over ensemble members
+    gamma = n_tracks / seeds_per_year
     c = obs_tracks_per_year / gamma.mean()
     return c * gamma, float(c)
 
