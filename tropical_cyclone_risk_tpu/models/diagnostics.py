@@ -69,6 +69,72 @@ def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds,
     return jnp.sqrt(ug ** 2 + vg ** 2)
 
 
+def _translation_tm(lon, lat, lon_prev, lat_prev, lon_next, lat_next, dt_s):
+    """Centered-difference translation speed (m/s) given explicit previous /
+    next positions, time-major [T, N] (ops.sphere.translational_speed with
+    the neighbor construction factored out)."""
+    dlon = 0.5 * (jnp.sign(lon_next - lon_prev) *
+                  sphere.haversine(lon_next, lat, lon_prev, lat))
+    dlat = 0.5 * (jnp.sign(lat_next - lat_prev) *
+                  sphere.haversine(lon, lat_next, lon, lat_prev))
+    return dlon * 1000.0 / dt_s, dlat * 1000.0 / dt_s
+
+
+def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
+                        last_step, cfg=None):
+    """axi_to_max_wind over time-major UNMASKED buffers (simulator.RawTracks
+    layout), returning (vmax [T, N] valid where alive, peak [N]).
+
+    Replaces the sequential NaN-tail extrapolation scan of the masked path
+    with an elementwise fix-up: samples past death hold the frozen death
+    state, so centered differences are already exact at every valid sample
+    except each track's last (where the frozen next position halves the
+    difference); that one sample per track gets the reference's linear edge
+    extrapolation (util/sphere.py:66-69) via a gather at last_step.  peak is
+    the alive-masked lifetime maximum (util/compute.py:205 nanmax input)."""
+    if cfg is not None:
+        from tropical_cyclone_risk_tpu.models.fast import deep_layer_indices
+        iu2, iv2, iu8, iv8 = deep_layer_indices(cfg)
+    else:
+        iu2, iv2, iu8, iv8 = 0, 1, 2, 3
+
+    # neighbor positions: start-edge linear extrapolation as in
+    # translational_speed; the end edge is covered by the last_step fix-up
+    # (frozen buffers make pos[T] == pos[T-1] == ... past death)
+    pad0 = lambda x: jnp.concatenate([2 * x[:1] - x[1:2], x[:-1]], axis=0)
+    padT = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
+    ut, vt = _translation_tm(lon, lat, pad0(lon), pad0(lat),
+                             padT(lon), padT(lat), dt_track)
+
+    # per-track fix-up at the last valid sample L: next position is the
+    # linear extrapolation pos[L] + (pos[L] - pos[L-1])
+    take = lambda x, i: jnp.take_along_axis(x, i[None, :], axis=0)[0]
+    L = last_step
+    Lm1 = jnp.maximum(L - 1, 0)
+    lon_L, lat_L = take(lon, L), take(lat, L)
+    lon_P, lat_P = take(lon, Lm1), take(lat, Lm1)
+    ut_L, vt_L = _translation_tm(lon_L, lat_L, lon_P, lat_P,
+                                 lon_L + (lon_L - lon_P),
+                                 lat_L + (lat_L - lat_P), dt_track)
+    at_L = jnp.arange(lon.shape[0])[:, None] == L[None, :]
+    ut = jnp.where(at_L, ut_L[None, :], ut)
+    vt = jnp.where(at_L, vt_L[None, :], vt)
+
+    G = jnp.minimum(1.0, 0.8 + 0.35 * (1.0 + jnp.tanh((lat - 35.0) / 10.0)))
+    u_shr = env_wnds[..., iu2] - env_wnds[..., iu8]
+    v_shr = env_wnds[..., iv2] - env_wnds[..., iv8]
+    U_inc = G * ut + 0.1 * u_shr * tc_v / 15.0
+    V_inc = G * vt + 0.1 * v_shr * tc_v / 15.0
+    mag_inc = jnp.sqrt(U_inc ** 2 + V_inc ** 2)
+    mag_fac = jnp.minimum(1.0, (tc_v * 0.50) / mag_inc)
+    theta_opt = jnp.arctan2(-U_inc, V_inc)
+    ug = tc_v * -jnp.sin(theta_opt) + U_inc * mag_fac
+    vg = tc_v * jnp.cos(theta_opt) + V_inc * mag_fac
+    vmax = jnp.sqrt(ug ** 2 + vg ** 2)
+    peak = jnp.max(jnp.where(alive, vmax, -jnp.inf), axis=0)
+    return vmax, peak
+
+
 def vmax_filter(cfg: Namelist, vmax):
     """Lifetime-max filter (util/compute.py:205): keep if nanmax >= threshold."""
     peak = jnp.nanmax(jnp.where(jnp.isnan(vmax), -jnp.inf, vmax), axis=-1)

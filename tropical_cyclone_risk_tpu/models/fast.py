@@ -59,19 +59,23 @@ def steering_coefs(cfg: Namelist, v):
     return jnp.broadcast_to(coefs, v.shape + coefs.shape)
 
 
-def color_winds(cfg: Namelist, stats, fourier: FourierSeries, t):
-    """Environmental winds from gathered wind statistics [N, W + W(W+1)/2]:
-    monthly mean + Cholesky-colored Fourier synthetic flow
-    (track/bam_track.py:116-128).  Returns [N, W]."""
+def color_winds_given_f(cfg: Namelist, stats, f):
+    """Environmental winds from gathered wind statistics [N, W + W(W+1)/2]
+    and an already-evaluated Fourier sample f [N, W]: monthly mean +
+    Cholesky-colored synthetic flow (track/bam_track.py:116-128)."""
     W = cfg.n_wind_levels
     mean = stats[:, :W]
     cov = chol.lower_tri_to_full(stats[:, W:], W)
     L, ok = chol.cholesky_unrolled(cov)
-    f = fourier.evaluate(t)                       # [N, W]
     wnds = mean + jnp.einsum('nij,nj->ni', L, f)
     # non-PD covariance -> zero winds (reference zero-fallback,
     # track/bam_track.py:123-126)
     return jnp.where(ok[:, None], wnds, 0.0)
+
+
+def color_winds(cfg: Namelist, stats, fourier: FourierSeries, t):
+    """color_winds_given_f with F(t) evaluated analytically at t."""
+    return color_winds_given_f(cfg, stats, fourier.evaluate(t))
 
 
 def sample_env_winds(pack: F.FieldPack, cfg: Namelist, lon, lat, plane,

@@ -48,7 +48,11 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                 plane_offset):
     """Propose n seeds, integrate, filter — the per-seed work of one launch.
     Shared by the single-device and shard_map paths (parallel.sharding).
-    Returns a dict of per-slot [n, ...] arrays."""
+
+    Returns {'seed': per-seed [n] arrays, 'tm': time-major [T, n(, W)]
+    track buffers} — the scan-native layout, so no full-batch transpose or
+    NaN-masking pass ever touches the [n, 361] buffers (compact_survivors
+    does both on the few compacted survivors instead)."""
     k_seed, k_fourier = jax.random.split(key)
     prop = seeding.propose_seeds(k_seed, pack, cfg, basin_id, n, plane_offset)
     fs = fourier.draw_fourier(k_fourier, (n, cfg.n_wind_levels),
@@ -58,39 +62,52 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
     if cfg.m_init_mode == 'dvdt0':
         state = state._replace(m=fast.init_m_dvdt0(
             pack, cfg, state.lon, state.lat, state.v, params))
-    out = simulator.integrate(pack, cfg, basin_id, state, params,
-                              prop.integrate)
-    is_tc, _ = simulator.tc_filters(cfg, out)
-    vmax = diagnostics.axi_to_max_wind(out.lon, out.lat,
-                                       float(cfg.output_interval_s),
-                                       out.v, out.wnds, cfg)
-    keep = is_tc & diagnostics.vmax_filter(cfg, vmax)
-    return {'keep': keep, 'counted': prop.counted, 'month': prop.month,
-            'basin_idx': prop.basin_idx, 'lon': out.lon, 'lat': out.lat,
-            'v': out.v, 'm': out.m, 'vmax': vmax, 'wnds': out.wnds}
+    raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
+                                  prop.integrate)
+    is_tc, _ = simulator.tc_filters_raw(cfg, raw)
+    vmax, peak = diagnostics.axi_to_max_wind_raw(
+        raw.lon, raw.lat, float(cfg.output_interval_s), raw.v, raw.wnds,
+        raw.alive, raw.last_step, cfg)
+    keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
+    return {
+        'seed': {'keep': keep, 'counted': prop.counted, 'month': prop.month,
+                 'basin_idx': prop.basin_idx},
+        'tm': {'lon': raw.lon, 'lat': raw.lat, 'v': raw.v, 'm': raw.m,
+               'vmax': vmax, 'wnds': raw.wnds, 'alive': raw.alive},
+    }
 
 
 def compact_survivors(body: dict, n: int, k_max: int,
                       constrain=lambda a: a):
     """Survivors first in slot order, truncated to k_max; returns the
-    (tracks, meta) launch contract.  constrain: optional per-array sharding
-    constraint applied to the gathered tracks."""
+    (tracks, meta) launch contract ([k_max, T] NaN-masked track buffers).
+    constrain: optional per-array sharding constraint applied to the
+    gathered tracks."""
+    seed, tm = body['seed'], body['tm']
+    keep = seed['keep']
     slot = jnp.arange(n)
-    order = jnp.argsort(jnp.where(body['keep'], slot, slot + n))[:k_max]
+    order = jnp.argsort(jnp.where(keep, slot, slot + n))[:k_max]
     g = lambda a: constrain(jnp.take(a, order, axis=0))
+    # time-major gather: pick survivor columns, then transpose / NaN-mask
+    # only the [T, k_max] result
+    gt = lambda a: constrain(jnp.moveaxis(jnp.take(a, order, axis=1), 0, 1))
+    alive_g = gt(tm['alive'])
+    nan = jnp.float32(jnp.nan)
+    mask = lambda x: jnp.where(alive_g if x.ndim == alive_g.ndim
+                               else alive_g[..., None], x, nan)
     tracks = {
-        'lon': g(body['lon']), 'lat': g(body['lat']),
-        'v': g(body['v']), 'm': g(body['m']),
-        'vmax': g(body['vmax']), 'wnds': g(body['wnds']),
-        'month': g(body['month']), 'basin_idx': g(body['basin_idx']),
-        'valid': g(body['keep']),
+        'lon': mask(gt(tm['lon'])), 'lat': mask(gt(tm['lat'])),
+        'v': mask(gt(tm['v'])), 'm': mask(gt(tm['m'])),
+        'vmax': mask(gt(tm['vmax'])), 'wnds': mask(gt(tm['wnds'])),
+        'month': g(seed['month']), 'basin_idx': g(seed['basin_idx']),
+        'valid': g(keep),
     }
     # meta is fetched on every host each batch ([n] bools/ints, tiny):
     # constrain it too so multi-host fetches see addressable replicas
-    meta = {'keep': constrain(body['keep']),
-            'counted': constrain(body['counted']),
-            'basin_idx': constrain(body['basin_idx']),
-            'month': constrain(body['month'])}
+    meta = {'keep': constrain(keep),
+            'counted': constrain(seed['counted']),
+            'basin_idx': constrain(seed['basin_idx']),
+            'month': constrain(seed['month'])}
     return tracks, meta
 
 
@@ -106,15 +123,46 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     return compact_survivors(body, n, k_max)
 
 
+def _dispatch_batch(bkey, pack_y: FieldPack, cfg: Namelist, basin_id: str,
+                    N: int, k_max: int, plane_off, mesh):
+    """Enqueue one launch (async under jax dispatch) on the year-sliced pack."""
+    if mesh is not None:
+        from tropical_cyclone_risk_tpu.parallel import sharding
+        return sharding.simulate_batch_sharded(
+            mesh, bkey, pack_y, cfg, basin_id, N, k_max, plane_off)
+    return _simulate_batch(bkey, pack_y, cfg, basin_id, N, k_max, plane_off)
+
+
+def prefetch_year_batch0(key: jax.Array, pack: FieldPack, cfg: Namelist,
+                         basin_id: str, year_idx: int,
+                         n_tracks: Optional[int] = None, mesh=None):
+    """Dispatch (without blocking) a year's first seed batch; pass the
+    result to run_tracks_year(first_batch=...).  The runtime year loop uses
+    this to keep one launch in flight across year boundaries, hiding the
+    host round-trip and dispatch latency behind device execution (in the
+    common case one batch fills the whole year quota, so this pipelines the
+    entire run)."""
+    n_tracks = n_tracks or cfg.tracks_per_year
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    pack_y = fields_mod.slice_pack_year(pack, cfg, year_idx)
+    return _dispatch_batch(jax.random.fold_in(key, 0), pack_y, cfg,
+                           basin_id, cfg.seed_batch,
+                           min(n_tracks, cfg.seed_batch),
+                           jnp.int32(cfg.start_month - 1), mesh)
+
+
 def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                     basin_id: str, year_idx: int,
                     n_tracks: Optional[int] = None,
-                    max_batches: int = 200, mesh=None) -> YearTracks:
+                    max_batches: int = 200, mesh=None,
+                    first_batch=None) -> YearTracks:
     """Generate the year's track quota (reference run_tracks,
     util/compute.py:64-210).
 
     mesh: optional jax.sharding.Mesh — shards each seed batch over the
-    device mesh (parallel.sharding) instead of one-device launches."""
+    device mesh (parallel.sharding) instead of one-device launches.
+    first_batch: optional already-dispatched batch 0 (prefetch_year_batch0
+    with the same key/config)."""
     n_tracks = n_tracks or cfg.tracks_per_year
     n_basins = len(cfg.basin_ids_sorted())
     N = cfg.seed_batch
@@ -133,14 +181,12 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     cutoff = None          # global slot index of the final quota survivor
     got = 0
     for b_i in range(max_batches):
-        bkey = jax.random.fold_in(key, b_i)
-        if mesh is not None:
-            from tropical_cyclone_risk_tpu.parallel import sharding
-            tracks, meta = sharding.simulate_batch_sharded(
-                mesh, bkey, pack, cfg, basin_id, N, k_max, plane_off)
+        if b_i == 0 and first_batch is not None:
+            tracks, meta = first_batch
         else:
-            tracks, meta = _simulate_batch(bkey, pack, cfg, basin_id, N,
-                                           k_max, plane_off)
+            tracks, meta = _dispatch_batch(
+                jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
+                k_max, plane_off, mesh)
         keep = np.asarray(meta['keep'])
         meta_counted.append(np.asarray(meta['counted']))
         meta_basin.append(np.asarray(meta['basin_idx']))

@@ -42,6 +42,21 @@ class TrackOutput(NamedTuple):
     last_step: jnp.ndarray   # [N] index of last valid sample
 
 
+class RawTracks(NamedTuple):
+    """Scan-native time-major buffers, [n_steps, N] (winds [n_steps, N, W]),
+    UNMASKED: samples past a storm's death hold the frozen death state, not
+    NaN.  The fused launch epilogue (pipeline.launch_body) works in this
+    layout so full-batch transposes and NaN-masking passes over [N, 361]
+    buffers happen only on the few compacted survivors."""
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    v: jnp.ndarray
+    m: jnp.ndarray
+    wnds: jnp.ndarray
+    alive: jnp.ndarray       # [n_steps, N] bool: sample validity
+    last_step: jnp.ndarray   # [N] index of last valid sample
+
+
 def _events_alive(cfg: Namelist, bounds, y: fast.State):
     """Continuation condition (coupled_fast.py:246-256)."""
     in_b = basins.in_basin(y.lon, y.lat, bounds, 1.0)
@@ -59,28 +74,35 @@ def _rk4_step(rhs_fn, t, y: fast.State, dt):
     return y1, wnds
 
 
-def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt):
+def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt,
+                            f_t=None):
     """RK4 step with one field gather AND one wind coloring (Cholesky +
     Fourier synthesis) at the step start (the gather-bound default; see
     Namelist.rk_exact_stage_fields).  F(t) has a 20-day period, so its
     sub-hour variation is O(1e-3) of the wind amplitude; steering weights,
-    ocean feedback and the FAST ODEs stay exact per RK stage."""
+    ocean feedback and the FAST ODEs stay exact per RK stage.
+
+    f_t: optional precomputed Fourier sample F(t) [N, W] (the scan streams
+    these from one pre-launch matmul instead of contracting the A/B
+    coefficient buffers every step)."""
     smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
                                      params.plane, t)
-    wnds = fast.color_winds(cfg, smp.wind_stats, params.fourier, t)
+    if f_t is None:
+        f_t = params.fourier.evaluate(t)
+    wnds = fast.color_winds_given_f(cfg, smp.wind_stats, f_t)
     rhs_fn = lambda tt, yy: fast.rhs_given_winds(cfg, tt, yy, params, smp,
                                                  wnds)
     return _rk4_step(rhs_fn, t, y, dt)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id'))
-def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
-              y0: fast.State, params: fast.SeedParams,
-              integrate_mask: jnp.ndarray) -> TrackOutput:
-    """Integrate the batch for cfg.n_steps_output samples.
+def integrate_raw(pack: FieldPack, cfg: Namelist, basin_id: str,
+                  y0: fast.State, params: fast.SeedParams,
+                  integrate_mask: jnp.ndarray) -> RawTracks:
+    """Integrate the batch for cfg.n_steps_output samples; time-major
+    unmasked output (see RawTracks).
 
     integrate_mask: [N] seeds that passed all genesis gates; others produce
-    all-NaN tracks at zero extra cost (lockstep SIMD).
+    dead (alive-nowhere) tracks at zero extra cost (lockstep SIMD).
     """
     bounds = basins.basin_bounds(cfg, basin_id)
     n_steps = cfg.n_steps_output
@@ -90,24 +112,35 @@ def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
 
     stacks = fields_mod.build_stacks(pack)
     if cfg.rk_exact_stage_fields:
-        step_fn = lambda t, y, h: _rk4_step(
+        step_fn = lambda t, y, h, f=None: _rk4_step(
             lambda tt, yy: fast.rhs(stacks, cfg, tt, yy, params), t, y, h)
     else:
-        step_fn = lambda t, y, h: _rk4_step_frozen_fields(
-            stacks, cfg, params, t, y, h)
+        step_fn = lambda t, y, h, f=None: _rk4_step_frozen_fields(
+            stacks, cfg, params, t, y, h, f)
 
     # genesis gates evaluated with the track's own Fourier draws
     keep = fast.ventilation_index_reject(stacks, cfg, y0, params)
     alive0 = integrate_mask & keep
 
-    def step(carry, k):
+    # default path: evaluate the Fourier flow for all steps as one matmul
+    # and stream per-step [N, W] slices through the scan (evaluate_grid)
+    ks = jnp.arange(n_steps)
+    if not cfg.rk_exact_stage_fields and sub == 1:
+        f_all = params.fourier.evaluate_grid(ks.astype(jnp.float32) * dt_out)
+        xs = (ks, f_all)
+    else:
+        xs = (ks, None)
+
+    def step(carry, x):
         y, alive = carry
+        k, f_t = x
         t = k.astype(jnp.float32) * dt_out
         # record sample k, then advance to k+1
         y1 = y
         wnds0 = None
         for s in range(sub):
-            y_next, wnds = step_fn(t + s * dt, y1, dt)
+            y_next, wnds = step_fn(t + s * dt, y1, dt,
+                                   f_t if s == 0 else None)
             if s == 0:
                 wnds0 = wnds
             y1 = fast.State(*(jnp.where(alive, a, b)
@@ -117,19 +150,30 @@ def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
         return (y1, alive1), out
 
     (_, _), (lon, lat, v, m, wnds, alive) = jax.lax.scan(
-        step, (y0, alive0), jnp.arange(n_steps))
+        step, (y0, alive0), xs)
 
-    # [T, N] -> [N, T]
+    last_step = jnp.maximum(jnp.sum(alive.astype(jnp.int32), axis=0) - 1, 0)
+    return RawTracks(lon, lat, v, m, wnds, alive, last_step)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id'))
+def integrate(pack: FieldPack, cfg: Namelist, basin_id: str,
+              y0: fast.State, params: fast.SeedParams,
+              integrate_mask: jnp.ndarray) -> TrackOutput:
+    """Seed-major NaN-masked view of integrate_raw (the reference output
+    contract: [N, n_steps] buffers, NaN past each storm's death,
+    util/compute.py:126-133).  One-shot callers and tests use this; the
+    fused launch stays in the raw time-major layout."""
+    raw = integrate_raw(pack, cfg, basin_id, y0, params, integrate_mask)
     tr = lambda x: jnp.swapaxes(x, 0, 1)
-    lon, lat, v, m, alive = map(tr, (lon, lat, v, m, alive))
-    wnds = jnp.swapaxes(wnds, 0, 1)
-
+    lon, lat, v, m, alive = map(tr, (raw.lon, raw.lat, raw.v, raw.m,
+                                     raw.alive))
+    wnds = jnp.swapaxes(raw.wnds, 0, 1)
     nan = jnp.float32(jnp.nan)
     mask = lambda x: jnp.where(alive, x, nan)
-    last_step = jnp.maximum(jnp.sum(alive.astype(jnp.int32), axis=1) - 1, 0)
     return TrackOutput(mask(lon), mask(lat), mask(v), mask(m),
                        jnp.where(alive[..., None], wnds, nan),
-                       alive, last_step)
+                       alive, raw.last_step)
 
 
 def tc_filters(cfg: Namelist, out: TrackOutput) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -146,4 +190,17 @@ def tc_filters(cfg: Namelist, out: TrackOutput) -> Tuple[jnp.ndarray, jnp.ndarra
     reached = jnp.any(jnp.nan_to_num(out.v) >= cfg.seed_v_threshold_ms,
                       axis=1)
     is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) & out.alive[:, 0]
+    return is_tc, v_2d
+
+
+def tc_filters_raw(cfg: Namelist, raw: RawTracks) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """tc_filters on the time-major unmasked buffers: identical verdicts
+    (v at idx_2d <= last_step is always a valid sample; alive gates the
+    reached-threshold reduction exactly like the NaN mask + nan_to_num)."""
+    steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
+    idx_2d = jnp.minimum(raw.last_step, steps_2d)
+    v_2d = jnp.take_along_axis(raw.v, idx_2d[None, :], axis=0)[0]
+    reached = jnp.any(jnp.where(raw.alive, raw.v, 0.0)
+                      >= cfg.seed_v_threshold_ms, axis=0)
+    is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) & raw.alive[0]
     return is_tc, v_2d

@@ -39,6 +39,20 @@ class FourierSeries(NamedTuple):
         c = jnp.cos(phase)
         return self.A @ s + self.B @ c   # [..., C] (or [..., C, Nt])
 
+    def evaluate_grid(self, t):
+        """F on a time grid t [T] -> [T, ..., C], evaluated as one matmul
+        over the component axis.  The integration scan precomputes this and
+        streams [..., C] slices per step (scan xs), so the A/B coefficient
+        buffers — whose 15-wide minor axis pads to a full 128-lane tile on
+        TPU — are read once per launch instead of once per step."""
+        w = 2.0 * jnp.pi * jnp.arange(1, N_FOURIER + 1,
+                                      dtype=self.A.dtype) / self.T_s
+        phase = t[:, None] * w[None, :]                     # [T, f]
+        s = jnp.sin(phase)
+        c = jnp.cos(phase)
+        return (jnp.einsum('tf,...cf->t...c', s, self.A) +
+                jnp.einsum('tf,...cf->t...c', c, self.B))
+
 
 def draw_fourier(key: jax.Array, shape, T_s: float,
                  dtype=jnp.float32) -> FourierSeries:

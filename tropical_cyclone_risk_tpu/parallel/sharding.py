@@ -66,10 +66,12 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         return pipeline.launch_body(jax.random.fold_in(key, d), pack, cfg,
                                     basin_id, n_local, plane_offset)
 
+    # per-seed arrays are sharded on axis 0; time-major track buffers on
+    # axis 1 (launch_body's scan-native [T, n_local] layout)
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=P(SEED_AXIS),
+        out_specs={'seed': P(SEED_AXIS), 'tm': P(None, SEED_AXIS)},
         check_vma=False)
 
     def launch(key, plane_offset, pack: FieldPack):

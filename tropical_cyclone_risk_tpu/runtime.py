@@ -109,12 +109,25 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
     metrics = obs.Metrics()
     results = []
     with obs.maybe_profile(trace_dir):
+        # keep one launch in flight across year boundaries: year y+1's
+        # first batch is enqueued before year y's results are drained, so
+        # the device never idles on the host round-trip between years
+        pending = pipeline.prefetch_year_batch0(
+            jax.random.fold_in(key, years[0]), pack, cfg, basin_id, 0,
+            mesh=mesh) if years else None
         for yi, year in enumerate(years):
             ykey = jax.random.fold_in(key, year)
+            if yi + 1 < len(years):
+                nxt = pipeline.prefetch_year_batch0(
+                    jax.random.fold_in(key, years[yi + 1]), pack, cfg,
+                    basin_id, yi + 1, mesh=mesh)
+            else:
+                nxt = None
             with obs.phase(f'year {year}', metrics):
-                results.append(pipeline.run_tracks_year(ykey, pack, cfg,
-                                                        basin_id, yi,
-                                                        mesh=mesh))
+                results.append(pipeline.run_tracks_year(
+                    ykey, pack, cfg, basin_id, yi, mesh=mesh,
+                    first_batch=pending))
+            pending = nxt
             metrics.count('tracks', results[-1].lon.shape[0])
             metrics.count('seeds', float(results[-1].n_seeds.sum()))
             metrics.time('simulate', metrics.timings.pop(f'year {year}'))
