@@ -123,6 +123,31 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     return compact_survivors(body, n, k_max)
 
 
+@jax.jit
+def _keep_count(keep):
+    return keep.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('n_basins',))
+def _count_seeds_all(counted, basin_idx, month, n_basins: int):
+    """seeds_per_month [n_basins, 12] of a whole batch, on device (avoids
+    fetching the [N] per-slot metadata through the slow host relay)."""
+    idx = basin_idx * 12 + (month - 1)
+    return (jnp.zeros((n_basins * 12,), jnp.int32)
+            .at[idx].add(counted.astype(jnp.int32))
+            .reshape(n_basins, 12))
+
+
+@functools.partial(jax.jit, static_argnames=('n_basins',))
+def _count_seeds_upto(keep, counted, basin_idx, month, j, n_basins: int):
+    """seeds_per_month over slots up to (and including) the (j+1)-th
+    survivor's slot — the reference's stopping rule applied on device."""
+    cs = jnp.cumsum(keep.astype(jnp.int32))
+    cutoff = jnp.argmax(cs == (j + 1))        # first slot reaching j+1
+    in_prefix = jnp.arange(keep.shape[0]) <= cutoff
+    return _count_seeds_all(counted & in_prefix, basin_idx, month, n_basins)
+
+
 def _dispatch_batch(bkey, pack_y: FieldPack, cfg: Namelist, basin_id: str,
                     N: int, k_max: int, plane_off, mesh):
     """Enqueue one launch (async under jax dispatch) on the year-sliced pack."""
@@ -175,10 +200,11 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     plane_off = jnp.int32(cfg.start_month - 1)
 
     rows: List[dict] = []
-    meta_counted: List[np.ndarray] = []
-    meta_basin: List[np.ndarray] = []
-    meta_month: List[np.ndarray] = []
-    cutoff = None          # global slot index of the final quota survivor
+    # seed counting stays on device (the [N] per-slot metadata never crosses
+    # the slow host relay): whole batches accumulate via _count_seeds_all;
+    # the quota-filling batch is truncated at the final survivor's slot on
+    # device (_count_seeds_upto) — the reference's stopping rule
+    n_seeds = np.zeros((n_basins, 12))
     got = 0
     for b_i in range(max_batches):
         if b_i == 0 and first_batch is not None:
@@ -187,32 +213,23 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
                 k_max, plane_off, mesh)
-        keep = np.asarray(meta['keep'])
-        meta_counted.append(np.asarray(meta['counted']))
-        meta_basin.append(np.asarray(meta['basin_idx']))
-        meta_month.append(np.asarray(meta['month']))
-
-        n_new = int(keep.sum())
+        n_new = int(_keep_count(meta['keep']))
         take = min(n_new, n_tracks - got)
         if take > 0:
-            host = {k: np.asarray(v[:take]) for k, v in tracks.items()}
+            host = jax.device_get({k: v[:take] for k, v in tracks.items()})
             rows.append(host)
             got += take
         if got >= n_tracks:
-            # slot (within this batch) of the final survivor
-            surv_slots = np.nonzero(keep)[0]
-            cutoff = b_i * N + int(surv_slots[take - 1])
+            n_seeds += np.asarray(_count_seeds_upto(
+                meta['keep'], meta['counted'], meta['basin_idx'],
+                meta['month'], jnp.int32(take - 1), n_basins))
             break
+        n_seeds += np.asarray(_count_seeds_all(
+            meta['counted'], meta['basin_idx'], meta['month'], n_basins))
     else:
         raise RuntimeError(
             f'track quota not reached after {max_batches} batches '
             f'({got}/{n_tracks}); environment may not support genesis')
-
-    counted = np.concatenate(meta_counted)
-    basin_idx_meta = np.concatenate(meta_basin)
-    month_meta = np.concatenate(meta_month)
-    n_seeds = seeding.count_seeds_per_month(
-        basin_idx_meta, month_meta, counted, n_basins, upto=cutoff)
 
     cat = lambda k: np.concatenate([r[k] for r in rows], axis=0)[:n_tracks]
     return YearTracks(lon=cat('lon'), lat=cat('lat'), v=cat('v'), m=cat('m'),
