@@ -216,6 +216,42 @@ def test_landfall_wraps_prime_meridian():
     assert lf['lon'][0, 0] > 359.0
 
 
+def test_landfall_return_periods():
+    """Two 1-year members, one landfalling track each at known vmax: the
+    return-period curve must count exceedances over member-summed years,
+    and the region box must exclude out-of-box landfalls."""
+    cfg = CFG.replace(start_year=2016, end_year=2016)
+    T = cfg.n_steps_output
+    lon = np.full((2, 1, T), np.nan, np.float32)
+    lat = np.full((2, 1, T), np.nan, np.float32)
+    vmax = np.full((2, 1, T), np.nan, np.float32)
+    for e, v_lf in enumerate((45.0, 62.0)):
+        lon[e, 0, :20] = np.linspace(290, 309, 20)   # landfall at ~300E
+        lat[e, 0, :20] = 20.0 + 10.0 * e             # member 1 at 30N
+        vmax[e, 0, :20] = v_lf
+    land_lon = np.arange(0.0, 360.0, 1.0)
+    land_lat = np.linspace(-90, 90, 181)
+    land = np.zeros((181, 360), np.float32)
+    land[:, 300:] = 1.0
+    ens = analysis.TrackEnsemble(
+        lon=lon, lat=lat, vmax=vmax, v=vmax,
+        tc_month=np.array([[9], [9]]), tc_years=np.full((2, 1), 2016),
+        tc_basins=np.array([['NA'], ['NA']]),
+        seeds_per_month=np.zeros((2, 1, 7, 12)),
+        year=np.array([2016]), basin=list(cfg.basin_ids_sorted()))
+    bins, rp = analysis.landfall_return_periods(
+        ens, land, land_lon, land_lat, vmax_bins=np.array([40.0, 60.0, 80.0]))
+    # 2 member-years total: both landfalls >= 40 -> RP 1 yr; one >= 60 ->
+    # RP 2 yr; none >= 80 -> inf
+    np.testing.assert_allclose(rp[:2], [1.0, 2.0])
+    assert np.isinf(rp[2])
+    # region box excluding member 1's 30N landfall
+    _, rp_box = analysis.landfall_return_periods(
+        ens, land, land_lon, land_lat, vmax_bins=np.array([40.0, 60.0]),
+        region=(280.0, 320.0, 15.0, 25.0))
+    np.testing.assert_allclose(rp_box, [2.0, np.inf])
+
+
 def test_pdi(ensemble):
     ens, cfg = ensemble
     p = analysis.pdi(ens)

@@ -212,6 +212,37 @@ def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
             'lon': sel(ens.lon), 'lat': sel(ens.lat)}
 
 
+def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
+                            land_lon: np.ndarray, land_lat: np.ndarray,
+                            vmax_bins: Optional[np.ndarray] = None,
+                            region: Optional[Tuple[float, float, float,
+                                                   float]] = None
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Return periods of landfall intensity (BASELINE.json config 5;
+    reference notebook cells 16-17 semantics — simulated-year counting —
+    applied to landfall events instead of a point of interest).
+
+    region: optional (lon0, lon1, lat0, lat1) box (degrees, 0-360 lon)
+    restricting which landfalls count — e.g. one coastline.  Returns
+    (vmax_bins [m/s], return_period_years) with inf where never exceeded.
+    """
+    if vmax_bins is None:
+        vmax_bins = np.arange(10.0, 81.0, 5.0)
+    lf = landfalls(ens, land, land_lon, land_lat)
+    v = lf['vmax'].ravel()
+    ok = np.isfinite(v)
+    if region is not None:
+        lon0, lon1, lat0, lat1 = region
+        lo, la = lf['lon'].ravel() % 360.0, lf['lat'].ravel()
+        ok &= (lo >= lon0) & (lo <= lon1) & (la >= lat0) & (la <= lat1)
+    total_years = ens.year.size * ens.n_ensemble
+    counts = np.array([(v[ok] >= b).sum() for b in vmax_bins], float)
+    with np.errstate(divide='ignore'):
+        rp = np.where(counts > 0, total_years / np.maximum(counts, 1e-30),
+                      np.inf)
+    return vmax_bins, rp
+
+
 def pdi(ens: TrackEnsemble, dt_s: float = 3600.0) -> np.ndarray:
     """Power dissipation index per year: sum of vmax^3 dt over all track
     samples (the interannual-variability metric of the reference's
