@@ -34,6 +34,8 @@ def main():
     cfg = Namelist().replace(seed_batch=n_seeds)
     pack = synthetic_pack(cfg, n_planes=12, nlat=181, nlon=360, seed=0)
     pack = jax.device_put(pack)
+    # resolve the integrate-compaction cap exactly as a production run does
+    cfg = pipeline.auto_integrate_cap(jax.random.key(0), pack, cfg, 'GL')
 
     launch = pipeline._simulate_batch
     k_max = 64

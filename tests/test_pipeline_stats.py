@@ -116,6 +116,83 @@ def test_survivor_cap_stopping_rule():
     assert int(yt5.n_seeds.sum()) == int(counted[:surv[4] + 1].sum())
 
 
+def test_integrate_compaction_bit_identical():
+    """integrate_cap < 1 compacts the scan to the integrable slots but must
+    leave every launch output bit-identical to the uncapped path (Fourier
+    flows are drawn full-width and gathered, so per-slot RNG streams are
+    unchanged)."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(5)
+    cfg_cap = CFG.replace(integrate_cap=0.5)
+    cfg_full = CFG.replace(integrate_cap=1.0)
+    assert pipeline.launch_width(cfg_cap, CFG.seed_batch) == 2048
+    t_cap, m_cap = pipeline._simulate_batch(
+        key, pack, cfg_cap, 'GL', CFG.seed_batch, 256, jnp.int32(0))
+    t_full, m_full = pipeline._simulate_batch(
+        key, pack, cfg_full, 'GL', CFG.seed_batch, 256, jnp.int32(0))
+    assert int(np.asarray(m_cap['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_cap['keep']),
+                                  np.asarray(m_full['keep']))
+    # survivor rows must match bit for bit; rows past the survivor count
+    # are padding (valid=False — different fill between the paths, never
+    # read: the host always slices [:n_new])
+    valid = np.asarray(t_full['valid'])
+    np.testing.assert_array_equal(np.asarray(t_cap['valid']), valid)
+    k_v = int(valid.sum())
+    assert k_v > 10
+    for k in ('lon', 'lat', 'v', 'm', 'vmax', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_cap[k])[:k_v],
+                                      np.asarray(t_full[k])[:k_v],
+                                      err_msg=k)
+
+
+def test_auto_integrate_cap():
+    """None resolves to the smallest bucket covering the measured
+    integrable fraction with margin; explicit values pass through; the
+    resolved run produces the exact uncapped output."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(4)
+    assert CFG.integrate_cap is None
+    cfg_auto = pipeline.auto_integrate_cap(jax.random.fold_in(key, 2016),
+                                           pack, CFG, 'GL')
+    assert cfg_auto.integrate_cap in pipeline.INTEGRATE_CAP_BUCKETS
+    # measured fraction ~0.26 on this pack -> bucket clears it with margin
+    prop_frac = 0.26
+    assert cfg_auto.integrate_cap >= prop_frac
+    assert cfg_auto.integrate_cap <= 0.5
+    # explicit cap passes through untouched
+    explicit = CFG.replace(integrate_cap=0.75)
+    assert pipeline.auto_integrate_cap(key, pack, explicit,
+                                       'GL').integrate_cap == 0.75
+    # end-to-end: the auto-resolved year equals the uncapped year
+    yt = pipeline.run_tracks_year(key, pack, cfg_auto, 'GL', 0, n_tracks=3)
+    yt_full = pipeline.run_tracks_year(
+        key, pack, CFG.replace(integrate_cap=1.0), 'GL', 0, n_tracks=3)
+    np.testing.assert_array_equal(yt.lon, yt_full.lon)
+    np.testing.assert_array_equal(yt.n_seeds, yt_full.n_seeds)
+
+
+def test_integrate_cap_overflow_falls_back():
+    """A cap smaller than the batch's integrable fraction must trigger the
+    uncapped fallback launch, not clip statistics: run_tracks_year output
+    matches the uncapped run exactly."""
+    cfg_tiny = Namelist(seed_batch=4096).replace(integrate_cap=0.0626)
+    pack = synthetic_pack(cfg_tiny, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(9)
+    # the fixture batch must actually overflow a 256-wide scan
+    _, meta = pipeline._simulate_batch(
+        jax.random.fold_in(key, 0), pack, cfg_tiny, 'GL', 4096, 8,
+        jnp.int32(0))
+    assert int(np.asarray(meta['overflow']).sum()) > 0
+    yt = pipeline.run_tracks_year(key, pack, cfg_tiny, 'GL', 0, n_tracks=3)
+    yt_full = pipeline.run_tracks_year(key, pack,
+                                       cfg_tiny.replace(integrate_cap=1.0),
+                                       'GL', 0, n_tracks=3)
+    np.testing.assert_array_equal(yt.lon, yt_full.lon)
+    np.testing.assert_array_equal(yt.month, yt_full.month)
+    np.testing.assert_array_equal(yt.n_seeds, yt_full.n_seeds)
+
+
 def test_year_slice_out_of_range_months_rejected():
     """Months outside the configured data range integrate=False via the
     vpot-zero padding (reference: out-of-range time interp -> NaN -> vpot 0

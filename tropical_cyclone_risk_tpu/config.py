@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 # Basin bounds use the reference's string format '<deg><E|W|N|S>'
 # (reference: namelist.py:112-119).
@@ -128,6 +128,20 @@ class Namelist:
 
     # ---- TPU-native extensions (no reference equivalent) ----
     seed_batch: int = 8192            # seeds proposed per on-device batch
+    # fraction of a seed batch carried through the 361-step integration
+    # scan.  Many proposed slots fail the counting / PI gates at step 0
+    # (util/compute.py:160-169) yet the scan's field gather — the whole
+    # launch cost — is paid per slot per step; compacting the integrable
+    # slots to the front (models/pipeline.launch_body) cuts the gather
+    # volume by the failing fraction with bit-identical survivor tracks.
+    # None (default): the runtime measures the environment's integrable
+    # fraction at run start and picks a cap bucket automatically
+    # (pipeline.auto_integrate_cap); direct pipeline._simulate_batch calls
+    # treat None as uncapped.  If a batch ever has more integrable seeds
+    # than the cap, the runtime falls back to an uncapped launch for that
+    # batch (models/pipeline.run_tracks_year) — statistics are never
+    # clipped.  1.0 disables compaction.
+    integrate_cap: Optional[float] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of

@@ -44,49 +44,127 @@ class YearTracks:
     n_seeds: np.ndarray      # [n_basins, 12]
 
 
+def launch_width(cfg: Namelist, n: int) -> int:
+    """Width m of the integration scan for an n-seed proposal batch:
+    ceil(n * integrate_cap) rounded up to a 256 lane-tile multiple.
+    integrate_cap=None (auto mode, resolved by the runtime through
+    auto_integrate_cap) means uncapped for direct launches."""
+    if cfg.integrate_cap is None or cfg.integrate_cap >= 1.0:
+        return n
+    m = int(-(-int(n * cfg.integrate_cap) // 256) * 256)
+    return min(n, max(256, m))
+
+
+# auto_integrate_cap chooses among these (coarse on purpose: every distinct
+# width is a separate XLA program, and the remote-compile latency of this
+# image is minutes — sixteenths balance gather savings vs compile reuse)
+INTEGRATE_CAP_BUCKETS = tuple(i / 16.0 for i in range(2, 17))
+
+
+def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
+                       margin: float = 1.15) -> Namelist:
+    """Resolve integrate_cap=None by measuring the environment.
+
+    Runs one seeding pass (exactly year 0 / batch 0's proposal stream: the
+    same key splits as launch_body), fetches the integrable fraction, and
+    picks the smallest cap bucket covering it with `margin` headroom.  The
+    fraction is a property of the environment (PI coverage x basin
+    geometry), stable across batches — measured spreads are < 1% absolute
+    — so one probe per run suffices; the uncapped-fallback in
+    run_tracks_year covers any straggler batch.  Costs one extra seeding
+    dispatch (~tens of ms) per run."""
+    if cfg.integrate_cap is not None:
+        return cfg
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    pack_y0 = fields_mod.slice_pack_year(pack, cfg, 0)
+    k_seed, _ = jax.random.split(jax.random.fold_in(key, 0))
+    prop = seeding.propose_seeds(k_seed, pack_y0, cfg, basin_id,
+                                 cfg.seed_batch,
+                                 jnp.int32(cfg.start_month - 1))
+    frac = float(np.asarray(prop.integrate.mean(dtype=jnp.float32)))
+    target = min(1.0, frac * margin + 1.0 / 64.0)
+    cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
+    return cfg.replace(integrate_cap=cap)
+
+
 def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                 plane_offset):
     """Propose n seeds, integrate, filter — the per-seed work of one launch.
     Shared by the single-device and shard_map paths (parallel.sharding).
 
-    Returns {'seed': per-seed [n] arrays, 'tm': time-major [T, n(, W)]
-    track buffers} — the scan-native layout, so no full-batch transpose or
-    NaN-masking pass ever touches the [n, 361] buffers (compact_survivors
-    does both on the few compacted survivors instead)."""
+    Integrate-compaction: most slots fail the seeding gates at step 0
+    (util/compute.py:160-169) but the scan's per-slot-per-step field gather
+    is the entire launch cost, so the integrable slots are compacted (in
+    slot order) to the front m = launch_width(cfg, n) positions and only
+    those enter the scan.  The Fourier flow is still drawn at full batch
+    width and gathered, so every slot keeps its exact per-slot RNG stream:
+    survivor tracks are bit-identical to an uncapped launch.  'overflow'
+    counts integrable seeds beyond the cap (the host falls back to an
+    uncapped launch for that batch when it is nonzero).
+
+    Returns {'seed': full-width [n] counting metadata,
+             'trk': compacted [m] per-track metadata,
+             'tm': time-major [T, m(, W)] track buffers,
+             'overflow': [1] int32} — the scan-native layout, so no
+    full-batch transpose or NaN-masking pass ever touches the [m, 361]
+    buffers (compact_survivors does both on the few survivors instead)."""
     k_seed, k_fourier = jax.random.split(key)
     prop = seeding.propose_seeds(k_seed, pack, cfg, basin_id, n, plane_offset)
     fs = fourier.draw_fourier(k_fourier, (n, cfg.n_wind_levels),
                               cfg.T_fourier_s)
-    params = fast.SeedParams(plane=prop.plane, h_bl=prop.h_bl, fourier=fs)
-    state = seeding.initial_state(prop)
+    m = launch_width(cfg, n)
+    if m < n:
+        slot = jnp.arange(n)
+        # integrable slots first, each class in slot order (stable), so the
+        # compacted axis preserves the reference's slot-sequential semantics
+        order = jnp.argsort(jnp.where(prop.integrate, slot, slot + n))[:m]
+        overflow = jnp.maximum(
+            prop.integrate.sum(dtype=jnp.int32) - m, 0)[None]
+        g = lambda a: jnp.take(a, order, axis=0)
+    else:
+        order = None
+        overflow = jnp.zeros((1,), jnp.int32)
+        g = lambda a: a
+    params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
+                             fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+    state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
+                       g(prop.m_init))
     if cfg.m_init_mode == 'dvdt0':
         state = state._replace(m=fast.init_m_dvdt0(
             pack, cfg, state.lon, state.lat, state.v, params))
     raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
-                                  prop.integrate)
+                                  g(prop.integrate))
     is_tc, _ = simulator.tc_filters_raw(cfg, raw)
     vmax, peak = diagnostics.axi_to_max_wind_raw(
         raw.lon, raw.lat, float(cfg.output_interval_s), raw.v, raw.wnds,
         raw.alive, raw.last_step, cfg)
     keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
+    # full-width keep (for the stopping rule's slot-sequential cumsum):
+    # scatter the compacted verdicts back to their original slots
+    keep_full = (keep if order is None else
+                 jnp.zeros((n,), bool).at[order].set(keep))
     return {
-        'seed': {'keep': keep, 'counted': prop.counted, 'month': prop.month,
-                 'basin_idx': prop.basin_idx},
+        'seed': {'keep': keep_full, 'counted': prop.counted,
+                 'month': prop.month, 'basin_idx': prop.basin_idx},
+        'trk': {'keep': keep, 'month': g(prop.month),
+                'basin_idx': g(prop.basin_idx)},
         'tm': {'lon': raw.lon, 'lat': raw.lat, 'v': raw.v, 'm': raw.m,
                'vmax': vmax, 'wnds': raw.wnds, 'alive': raw.alive},
+        'overflow': overflow,
     }
 
 
-def compact_survivors(body: dict, n: int, k_max: int,
+def compact_survivors(body: dict, m: int, k_max: int,
                       constrain=lambda a: a):
     """Survivors first in slot order, truncated to k_max; returns the
     (tracks, meta) launch contract ([k_max, T] NaN-masked track buffers).
-    constrain: optional per-array sharding constraint applied to the
-    gathered tracks."""
-    seed, tm = body['seed'], body['tm']
-    keep = seed['keep']
-    slot = jnp.arange(n)
-    order = jnp.argsort(jnp.where(keep, slot, slot + n))[:k_max]
+    m is the integration width (launch_width per device, summed over the
+    mesh on the sharded path).  constrain: optional per-array sharding
+    constraint applied to the gathered tracks."""
+    seed, trk, tm = body['seed'], body['trk'], body['tm']
+    keep = trk['keep']
+    slot = jnp.arange(m)
+    order = jnp.argsort(jnp.where(keep, slot, slot + m))[:k_max]
     g = lambda a: constrain(jnp.take(a, order, axis=0))
     # time-major gather: pick survivor columns, then transpose / NaN-mask
     # only the [T, k_max] result
@@ -99,15 +177,16 @@ def compact_survivors(body: dict, n: int, k_max: int,
         'lon': mask(gt(tm['lon'])), 'lat': mask(gt(tm['lat'])),
         'v': mask(gt(tm['v'])), 'm': mask(gt(tm['m'])),
         'vmax': mask(gt(tm['vmax'])), 'wnds': mask(gt(tm['wnds'])),
-        'month': g(seed['month']), 'basin_idx': g(seed['basin_idx']),
+        'month': g(trk['month']), 'basin_idx': g(trk['basin_idx']),
         'valid': g(keep),
     }
-    # meta is fetched on every host each batch ([n] bools/ints, tiny):
-    # constrain it too so multi-host fetches see addressable replicas
-    meta = {'keep': constrain(keep),
+    # meta stays full batch width ([n] slot metadata for the stopping rule;
+    # only scalars and a [basin, 12] table derived from it are ever fetched)
+    meta = {'keep': constrain(seed['keep']),
             'counted': constrain(seed['counted']),
             'basin_idx': constrain(seed['basin_idx']),
-            'month': constrain(seed['month'])}
+            'month': constrain(seed['month']),
+            'overflow': constrain(body['overflow'])}
     return tracks, meta
 
 
@@ -120,12 +199,14 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     (slot-ordered).  This function is the throughput benchmark unit.
     """
     body = launch_body(key, pack, cfg, basin_id, n, plane_offset)
-    return compact_survivors(body, n, k_max)
+    return compact_survivors(body, launch_width(cfg, n), k_max)
 
 
 @jax.jit
-def _keep_count(keep):
-    return keep.sum(dtype=jnp.int32)
+def _batch_scalars(meta):
+    """(survivor count, integrate-cap overflow) as one tiny fetch."""
+    return jnp.stack([meta['keep'].sum(dtype=jnp.int32),
+                      meta['overflow'].sum(dtype=jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=('n_basins',))
@@ -172,7 +253,7 @@ def prefetch_year_batch0(key: jax.Array, pack: FieldPack, cfg: Namelist,
     pack_y = fields_mod.slice_pack_year(pack, cfg, year_idx)
     return _dispatch_batch(jax.random.fold_in(key, 0), pack_y, cfg,
                            basin_id, cfg.seed_batch,
-                           min(n_tracks, cfg.seed_batch),
+                           min(n_tracks, launch_width(cfg, cfg.seed_batch)),
                            jnp.int32(cfg.start_month - 1), mesh)
 
 
@@ -191,7 +272,7 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     n_tracks = n_tracks or cfg.tracks_per_year
     n_basins = len(cfg.basin_ids_sorted())
     N = cfg.seed_batch
-    k_max = min(n_tracks, N)
+    k_max = min(n_tracks, launch_width(cfg, N))
 
     # one compiled launch shape for every year of every run: slice the pack
     # to this year's 12 calendar-month planes (fields.slice_pack_year)
@@ -213,7 +294,21 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
                 k_max, plane_off, mesh)
-        n_new = int(_keep_count(meta['keep']))
+        n_new, n_over = (int(x) for x in np.asarray(_batch_scalars(meta)))
+        if n_over > 0:
+            # more integrable seeds than the compaction cap: redo this
+            # batch uncapped (same key -> identical proposals, so nothing
+            # is clipped).  Rare; costs one extra compile the first time.
+            import logging
+            logging.getLogger('tc_risk_tpu').warning(
+                'integrate_cap=%.2f overflowed by %d seeds (batch %d); '
+                'falling back to an uncapped launch',
+                cfg.integrate_cap, n_over, b_i)
+            cfg_full = cfg.replace(integrate_cap=1.0)
+            tracks, meta = _dispatch_batch(
+                jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
+                min(n_tracks, N), plane_off, mesh)
+            n_new = int(np.asarray(_batch_scalars(meta))[0])
         take = min(n_new, n_tracks - got)
         if take > 0:
             host = jax.device_get({k: v[:take] for k, v in tracks.items()})

@@ -67,11 +67,16 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
                                     basin_id, n_local, plane_offset)
 
     # per-seed arrays are sharded on axis 0; time-major track buffers on
-    # axis 1 (launch_body's scan-native [T, n_local] layout)
+    # axis 1 (launch_body's scan-native [T, m_local] layout).  The
+    # integrate-compacted track axis concatenates shard-major, preserving
+    # slot order within each shard — consistent with the shard-major full
+    # seed axis the stopping rule counts over.
+    m_total = n_dev * pipeline.launch_width(cfg, n_local)
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs={'seed': P(SEED_AXIS), 'tm': P(None, SEED_AXIS)},
+        out_specs={'seed': P(SEED_AXIS), 'trk': P(SEED_AXIS),
+                   'tm': P(None, SEED_AXIS), 'overflow': P(SEED_AXIS)},
         check_vma=False)
 
     def launch(key, plane_offset, pack: FieldPack):
@@ -79,7 +84,7 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         # survivor compaction (slot order): the only cross-chip step
         rep = NamedSharding(mesh, P())
         constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
-        return pipeline.compact_survivors(body, n, k_max, constrain)
+        return pipeline.compact_survivors(body, m_total, k_max, constrain)
 
     rep = NamedSharding(mesh, P())
     return jax.jit(launch, in_shardings=(rep, rep, rep))

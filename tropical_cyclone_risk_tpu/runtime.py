@@ -105,6 +105,15 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                 np.int32(seed)))
         key = jax.random.key(seed)
     years = cfg.years()[:n_years] if n_years else cfg.years()
+    if years and cfg.integrate_cap is None:
+        # resolve the auto integrate-compaction cap by probing year 0 /
+        # batch 0's proposal stream (pipeline.auto_integrate_cap)
+        cfg = pipeline.auto_integrate_cap(
+            jax.random.fold_in(key, years[0]), pack, cfg, basin_id)
+        obs.log.info('integrate_cap auto-tuned to %.4f (scan width %d of '
+                     '%d seeds)', cfg.integrate_cap,
+                     pipeline.launch_width(cfg, cfg.seed_batch),
+                     cfg.seed_batch)
     t0 = time.time()
     metrics = obs.Metrics()
     results = []
