@@ -146,6 +146,55 @@ def test_integrate_compaction_bit_identical():
                                       err_msg=k)
 
 
+def test_recompaction_identical():
+    """Mid-track re-compaction (two-segment scan) must reproduce the
+    single-segment launch: survivor verdicts and trajectories bit-identical;
+    the vmax diagnostic to float32 ULP noise (array-width-dependent XLA
+    fusion changes FMA contraction in the elementwise chain)."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(5)
+    cfg_seg = CFG.replace(integrate_cap=0.5, recompact_step=120,
+                          recompact_cap=0.5)
+    cfg_one = CFG.replace(integrate_cap=0.5)
+    t_s, m_s = pipeline._simulate_batch(key, pack, cfg_seg, 'GL',
+                                        CFG.seed_batch, 256, jnp.int32(0))
+    t_o, m_o = pipeline._simulate_batch(key, pack, cfg_one, 'GL',
+                                        CFG.seed_batch, 256, jnp.int32(0))
+    assert int(np.asarray(m_s['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_s['keep']),
+                                  np.asarray(m_o['keep']))
+    valid = np.asarray(t_o['valid'])
+    np.testing.assert_array_equal(np.asarray(t_s['valid']), valid)
+    kv = int(valid.sum())
+    assert kv > 10
+    for k in ('lon', 'lat', 'v', 'm', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_s[k])[:kv],
+                                      np.asarray(t_o[k])[:kv], err_msg=k)
+    a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
+    fin = np.isfinite(a) | np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_recompaction_overflow_falls_back():
+    """A recompact cap below the boundary-survivor fraction must trigger
+    the uncapped fallback, keeping run output exact."""
+    cfg_tiny = Namelist(seed_batch=4096).replace(
+        integrate_cap=0.5, recompact_step=120, recompact_cap=0.0626)
+    pack = synthetic_pack(cfg_tiny, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(9)
+    _, meta = pipeline._simulate_batch(
+        jax.random.fold_in(key, 0), pack, cfg_tiny, 'GL', 4096, 8,
+        jnp.int32(0))
+    assert int(np.asarray(meta['overflow']).sum()) > 0
+    yt = pipeline.run_tracks_year(key, pack, cfg_tiny, 'GL', 0, n_tracks=3)
+    yt_full = pipeline.run_tracks_year(
+        key, pack, cfg_tiny.replace(integrate_cap=1.0, recompact_step=None,
+                                    recompact_cap=None),
+        'GL', 0, n_tracks=3)
+    np.testing.assert_array_equal(yt.lon, yt_full.lon)
+    np.testing.assert_array_equal(yt.n_seeds, yt_full.n_seeds)
+
+
 def test_auto_integrate_cap():
     """None resolves to the smallest bucket covering the measured
     integrable fraction with margin; explicit values pass through; the

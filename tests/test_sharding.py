@@ -99,3 +99,36 @@ def test_run_downscaling_trace_dir(tmp_path):
     # profiler wrote something under the trace dir
     found = [f for _, _, fs in os.walk(trace) for f in fs]
     assert found, 'no profiler artifacts written'
+
+
+def test_sharded_recompaction_identical():
+    """The two-segment (mid-track re-compaction) launch on a mesh matches
+    the unsegmented sharded launch: exact everywhere, vmax to float32 ULP
+    noise (see test_pipeline_stats.test_recompaction_identical)."""
+    mesh = sharding.make_mesh(8)
+    n = 8192                      # 1024/shard -> m=512, m2=256: seg active
+    cfg_seg = CFG.replace(seed_batch=n, integrate_cap=0.5,
+                          recompact_step=120, recompact_cap=0.5)
+    cfg_one = CFG.replace(seed_batch=n, integrate_cap=0.5)
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    pack = sharding.replicate_pack(pack, mesh)
+    key = jax.random.key(3)
+    t_s, m_s = sharding.simulate_batch_sharded(mesh, key, pack, cfg_seg,
+                                               'GL', n=n, k_max=16,
+                                               plane_offset=0)
+    t_o, m_o = sharding.simulate_batch_sharded(mesh, key, pack, cfg_one,
+                                               'GL', n=n, k_max=16,
+                                               plane_offset=0)
+    assert int(np.asarray(m_s['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_s['keep']),
+                                  np.asarray(m_o['keep']))
+    valid = np.asarray(t_o['valid'])
+    np.testing.assert_array_equal(np.asarray(t_s['valid']), valid)
+    kv = int(valid.sum())
+    assert kv >= 3
+    for k in ('lon', 'lat', 'v', 'm', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_s[k])[:kv],
+                                      np.asarray(t_o[k])[:kv], err_msg=k)
+    a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
+    fin = np.isfinite(a) | np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)

@@ -142,6 +142,18 @@ class Namelist:
     # batch (models/pipeline.run_tracks_year) — statistics are never
     # clipped.  1.0 disables compaction.
     integrate_cap: Optional[float] = None
+    # mid-track re-compaction: at output step recompact_step the launch
+    # compacts the still-alive storms (slot-stably) to recompact_cap x the
+    # integration width and finishes the scan narrow — storms die along
+    # the track (basin exit / |lat|<=2 / v<=4), so the tail of the scan
+    # wastes most of its gather rows on frozen corpses.  Bit-identical
+    # outputs (frozen-state segments compose exactly; pinned by test).
+    # None disables; auto-tuned together with integrate_cap from a small
+    # pathfinder probe of the alive-decay curve when integrate_cap is None
+    # (pipeline.auto_integrate_cap).  Overflow (more survivors at the
+    # boundary than the cap) falls back to an unsegmented launch.
+    recompact_step: Optional[int] = None
+    recompact_cap: Optional[float] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of

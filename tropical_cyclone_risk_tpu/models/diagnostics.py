@@ -81,7 +81,8 @@ def _translation_tm(lon, lat, lon_prev, lat_prev, lon_next, lat_next, dt_s):
 
 
 def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
-                        last_step, cfg=None):
+                        last_step, cfg=None, pos_before=None,
+                        pos_after=None):
     """axi_to_max_wind over time-major UNMASKED buffers (simulator.RawTracks
     layout), returning (vmax [T, N] valid where alive, peak [N]).
 
@@ -91,7 +92,14 @@ def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
     except each track's last (where the frozen next position halves the
     difference); that one sample per track gets the reference's linear edge
     extrapolation (util/sphere.py:66-69) via a gather at last_step.  peak is
-    the alive-masked lifetime maximum (util/compute.py:205 nanmax input)."""
+    the alive-masked lifetime maximum (util/compute.py:205 nanmax input).
+
+    Segmented launches (pipeline.launch_body re-compaction) call this per
+    segment: pos_before/pos_after ([2, N] lon/lat rows) supply the sample
+    neighboring the segment's first/last row, and last_step is the
+    segment-local index of each track's final valid sample — out-of-segment
+    values (negative or >= T) simply never trigger the end fix-up, which is
+    exactly right for a track that ends in the other segment."""
     if cfg is not None:
         from tropical_cyclone_risk_tpu.models.fast import deep_layer_indices
         iu2, iv2, iu8, iv8 = deep_layer_indices(cfg)
@@ -99,20 +107,35 @@ def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
         iu2, iv2, iu8, iv8 = 0, 1, 2, 3
 
     # neighbor positions: start-edge linear extrapolation as in
-    # translational_speed; the end edge is covered by the last_step fix-up
-    # (frozen buffers make pos[T] == pos[T-1] == ... past death)
-    pad0 = lambda x: jnp.concatenate([2 * x[:1] - x[1:2], x[:-1]], axis=0)
-    padT = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
-    ut, vt = _translation_tm(lon, lat, pad0(lon), pad0(lat),
-                             padT(lon), padT(lat), dt_track)
+    # translational_speed (or the caller-supplied boundary sample); the end
+    # edge is covered by the last_step fix-up (frozen buffers make
+    # pos[T] == pos[T-1] == ... past death)
+    first = (lambda x, b: jnp.concatenate([b[None], x[:-1]], axis=0))
+    if pos_before is None:
+        pad0 = lambda x: first(x, 2 * x[0] - x[1])
+        lon_b, lat_b = pad0(lon), pad0(lat)
+    else:
+        lon_b, lat_b = first(lon, pos_before[0]), first(lat, pos_before[1])
+    lastr = (lambda x, a: jnp.concatenate([x[1:], a[None]], axis=0))
+    if pos_after is None:
+        lon_a, lat_a = lastr(lon, lon[-1]), lastr(lat, lat[-1])
+    else:
+        lon_a, lat_a = lastr(lon, pos_after[0]), lastr(lat, pos_after[1])
+    ut, vt = _translation_tm(lon, lat, lon_b, lat_b, lon_a, lat_a, dt_track)
 
     # per-track fix-up at the last valid sample L: next position is the
     # linear extrapolation pos[L] + (pos[L] - pos[L-1])
-    take = lambda x, i: jnp.take_along_axis(x, i[None, :], axis=0)[0]
+    take = lambda x, i: jnp.take_along_axis(
+        x, jnp.clip(i, 0, x.shape[0] - 1)[None, :], axis=0)[0]
     L = last_step
     Lm1 = jnp.maximum(L - 1, 0)
     lon_L, lat_L = take(lon, L), take(lat, L)
     lon_P, lat_P = take(lon, Lm1), take(lat, Lm1)
+    if pos_before is not None:
+        # a track whose last valid sample is this segment's row 0 reaches
+        # one row back across the boundary for its extrapolation base
+        lon_P = jnp.where(L == 0, pos_before[0], lon_P)
+        lat_P = jnp.where(L == 0, pos_before[1], lat_P)
     ut_L, vt_L = _translation_tm(lon_L, lat_L, lon_P, lat_P,
                                  lon_L + (lon_L - lon_P),
                                  lat_L + (lat_L - lat_P), dt_track)

@@ -27,6 +27,7 @@ from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.models import diagnostics, fast, seeding, simulator
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
 from tropical_cyclone_risk_tpu.ops import fourier
+from tropical_cyclone_risk_tpu.utils import basins as _basins_mod
 
 
 @dataclasses.dataclass
@@ -84,11 +85,61 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     frac = float(np.asarray(prop.integrate.mean(dtype=jnp.float32)))
     target = min(1.0, frac * margin + 1.0 / 64.0)
     cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
-    return cfg.replace(integrate_cap=cap)
+    cfg = cfg.replace(integrate_cap=cap)
+
+    if cfg.recompact_step is None and cfg.recompact_cap is None:
+        # pathfinder probe: a small full-length launch measuring the
+        # alive-decay curve — storms die along the track, so re-compacting
+        # the scan at step T1 to the surviving fraction saves
+        # (1 - cap2) x (T - T1) of the tail's gather rows.  Pick the
+        # (T1, cap2) bucket pair minimizing total rows.
+        n_p = min(cfg.seed_batch, 8192)
+        counts = np.asarray(_alive_curve_probe(
+            jax.random.fold_in(key, 0x9e3779), pack_y0, cfg, basin_id,
+            n_p))
+        curve = counts / float(launch_width(cfg, n_p))
+        T = cfg.n_steps_output
+        best = (0.95 * T, None, None)          # only split if >=5% saved
+        for T1 in (90, 120, 150, 180, 210, 240):
+            if not (49 < T1 < T - 1):
+                continue
+            frac2 = min(1.0, float(curve[T1]) * margin + 1.0 / 64.0)
+            cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= frac2)
+            rows = T1 + cap2 * (T - T1)
+            if rows < best[0]:
+                best = (rows, T1, cap2)
+        if best[1] is not None and best[2] < 1.0:
+            cfg = cfg.replace(recompact_step=best[1], recompact_cap=best[2])
+    return cfg
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n'))
+def _alive_curve_probe(key, pack, cfg, basin_id, n):
+    """Alive count per output step of one small launch ([T] int32)."""
+    body = launch_body(key, pack, cfg, basin_id, n,
+                       jnp.int32(cfg.start_month - 1))
+    return body['tm']['alive'].sum(axis=1, dtype=jnp.int32)
+
+
+def recompact_width(cfg: Namelist, m: int) -> int:
+    """Width of the post-recompaction scan segment (256-multiple)."""
+    if cfg.recompact_cap is None or cfg.recompact_cap >= 1.0:
+        return m
+    m2 = int(-(-int(m * cfg.recompact_cap) // 256) * 256)
+    return min(m, max(256, m2))
+
+
+def _seg_active(cfg: Namelist, m: int) -> bool:
+    """Whether the launch splits into two scan segments."""
+    steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
+    return (cfg.recompact_step is not None
+            and cfg.recompact_cap is not None
+            and steps_2d < cfg.recompact_step < cfg.n_steps_output - 1
+            and recompact_width(cfg, m) < m)
 
 
 def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
-                plane_offset):
+                plane_offset, b_index_offset=0):
     """Propose n seeds, integrate, filter — the per-seed work of one launch.
     Shared by the single-device and shard_map paths (parallel.sharding).
 
@@ -132,26 +183,100 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
     if cfg.m_init_mode == 'dvdt0':
         state = state._replace(m=fast.init_m_dvdt0(
             pack, cfg, state.lon, state.lat, state.v, params))
-    raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
-                                  g(prop.integrate))
-    is_tc, _ = simulator.tc_filters_raw(cfg, raw)
-    vmax, peak = diagnostics.axi_to_max_wind_raw(
-        raw.lon, raw.lat, float(cfg.output_interval_s), raw.v, raw.wnds,
-        raw.alive, raw.last_step, cfg)
-    keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
+    dt_out = float(cfg.output_interval_s)
+
+    if not _seg_active(cfg, m):
+        raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
+                                      g(prop.integrate))
+        is_tc, _ = simulator.tc_filters_raw(cfg, raw)
+        vmax, peak = diagnostics.axi_to_max_wind_raw(
+            raw.lon, raw.lat, dt_out, raw.v, raw.wnds,
+            raw.alive, raw.last_step, cfg)
+        keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
+        tm = {'lon': raw.lon, 'lat': raw.lat, 'v': raw.v, 'm': raw.m,
+              'vmax': vmax, 'wnds': raw.wnds, 'alive': raw.alive}
+        tmB = seg = None
+        overflow2 = jnp.zeros((1,), jnp.int32)
+    else:
+        # ---- two-segment scan with mid-track re-compaction ----
+        from tropical_cyclone_risk_tpu.models import fields as fields_mod
+        T, T1 = cfg.n_steps_output, int(cfg.recompact_step)
+        m2 = recompact_width(cfg, m)
+        bounds = _basins_mod.basin_bounds(cfg, basin_id)
+        stacks = fields_mod.build_stacks(pack)
+        alive0 = simulator.genesis_alive(pack, cfg, state, params,
+                                         g(prop.integrate))
+        (lonA, latA, vA, mA, wndsA, aliveA), (yT1, aliveT1) = \
+            simulator.integrate_segment(stacks, cfg, bounds, state, alive0,
+                                        params, 0, T1)
+        # still-alive slots to the front (slot-stable), like step 0's
+        slot2 = jnp.arange(m)
+        order2 = jnp.argsort(jnp.where(aliveT1, slot2, slot2 + m))[:m2]
+        overflow2 = jnp.maximum(
+            aliveT1.sum(dtype=jnp.int32) - m2, 0)[None]
+        g2 = lambda a: jnp.take(a, order2, axis=0)
+        params2 = fast.SeedParams(
+            plane=g2(params.plane), h_bl=g2(params.h_bl),
+            fourier=params.fourier._replace(A=g2(params.fourier.A),
+                                            B=g2(params.fourier.B)))
+        y0B = fast.State(*(g2(x) for x in yT1))
+        (lonB, latB, vB, mB, wndsB, aliveB), _ = \
+            simulator.integrate_segment(stacks, cfg, bounds, y0B,
+                                        g2(aliveT1), params2, T1, T - T1)
+
+        # stitched per-slot reductions (A axis [m]); scatter back from B
+        cntA = aliveA.sum(axis=0, dtype=jnp.int32)          # [m]
+        cntB = aliveB.sum(axis=0, dtype=jnp.int32)          # [m2]
+        last_step = jnp.maximum(
+            cntA + jnp.zeros((m,), jnp.int32).at[order2].add(cntB) - 1, 0)
+        steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
+        idx_2d = jnp.minimum(last_step, steps_2d)           # < T1 always
+        v_2d = jnp.take_along_axis(vA, idx_2d[None, :], axis=0)[0]
+        thr = cfg.seed_v_threshold_ms
+        reachedA = jnp.any(jnp.where(aliveA, vA, 0.0) >= thr, axis=0)
+        reachedB = jnp.any(jnp.where(aliveB, vB, 0.0) >= thr, axis=0)
+        reached = reachedA | jnp.zeros((m,), bool).at[order2].set(reachedB)
+        is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) & aliveA[0]
+
+        # vmax per segment with exact boundary neighbors; tracks that end
+        # in the other segment never trigger that segment's end fix-up
+        vmaxA, peakA = diagnostics.axi_to_max_wind_raw(
+            lonA, latA, dt_out, vA, wndsA, aliveA, last_step, cfg,
+            pos_after=jnp.stack([yT1.lon, yT1.lat]))
+        vmaxB, peakB = diagnostics.axi_to_max_wind_raw(
+            lonB, latB, dt_out, vB, wndsB, aliveB, g2(last_step) - T1, cfg,
+            pos_before=jnp.stack([g2(lonA[-1]), g2(latA[-1])]))
+        peak = jnp.maximum(peakA, jnp.full((m,), -jnp.inf)
+                           .at[order2].set(peakB))
+        keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
+
+        # B-axis position of each A slot (global across a device mesh via
+        # b_index_offset), and whether it rode segment B at all
+        inv = jnp.zeros((m,), jnp.int32).at[order2].set(
+            b_index_offset + jnp.arange(m2, dtype=jnp.int32))
+        selected = jnp.zeros((m,), bool).at[order2].set(True)
+        tm = {'lon': lonA, 'lat': latA, 'v': vA, 'm': mA, 'vmax': vmaxA,
+              'wnds': wndsA, 'alive': aliveA}
+        tmB = {'lon': lonB, 'lat': latB, 'v': vB, 'm': mB, 'vmax': vmaxB,
+               'wnds': wndsB, 'alive': aliveB}
+        seg = {'inv': inv, 'selected': selected}
+
     # full-width keep (for the stopping rule's slot-sequential cumsum):
     # scatter the compacted verdicts back to their original slots
     keep_full = (keep if order is None else
                  jnp.zeros((n,), bool).at[order].set(keep))
-    return {
+    body = {
         'seed': {'keep': keep_full, 'counted': prop.counted,
                  'month': prop.month, 'basin_idx': prop.basin_idx},
         'trk': {'keep': keep, 'month': g(prop.month),
                 'basin_idx': g(prop.basin_idx)},
-        'tm': {'lon': raw.lon, 'lat': raw.lat, 'v': raw.v, 'm': raw.m,
-               'vmax': vmax, 'wnds': raw.wnds, 'alive': raw.alive},
-        'overflow': overflow,
+        'tm': tm,
+        'overflow': jnp.concatenate([overflow, overflow2]),
     }
+    if tmB is not None:
+        body['tmB'] = tmB
+        body['seg'] = seg
+    return body
 
 
 def compact_survivors(body: dict, m: int, k_max: int,
@@ -170,13 +295,28 @@ def compact_survivors(body: dict, m: int, k_max: int,
     # only the [T, k_max] result
     gt = lambda a: constrain(jnp.moveaxis(jnp.take(a, order, axis=1), 0, 1))
     alive_g = gt(tm['alive'])
+    if 'tmB' in body:
+        # stitched two-segment launch: survivor columns come from segment A
+        # plus (for storms that rode segment B) their B column; storms that
+        # died in A read B column 0 harmlessly — those samples are masked
+        # dead below
+        tmB, segi = body['tmB'], body['seg']
+        bcol = g(segi['inv'])
+        sel = g(segi['selected'])
+        gb = lambda a: constrain(jnp.moveaxis(jnp.take(a, bcol, axis=1),
+                                              0, 1))
+        alive_g = jnp.concatenate(
+            [alive_g, sel[:, None] & gb(tmB['alive'])], axis=1)
+        col = lambda k: jnp.concatenate([gt(tm[k]), gb(tmB[k])], axis=1)
+    else:
+        col = lambda k: gt(tm[k])
     nan = jnp.float32(jnp.nan)
     mask = lambda x: jnp.where(alive_g if x.ndim == alive_g.ndim
                                else alive_g[..., None], x, nan)
     tracks = {
-        'lon': mask(gt(tm['lon'])), 'lat': mask(gt(tm['lat'])),
-        'v': mask(gt(tm['v'])), 'm': mask(gt(tm['m'])),
-        'vmax': mask(gt(tm['vmax'])), 'wnds': mask(gt(tm['wnds'])),
+        'lon': mask(col('lon')), 'lat': mask(col('lat')),
+        'v': mask(col('v')), 'm': mask(col('m')),
+        'vmax': mask(col('vmax')), 'wnds': mask(col('wnds')),
         'month': g(trk['month']), 'basin_idx': g(trk['basin_idx']),
         'valid': g(keep),
     }
@@ -296,15 +436,18 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 k_max, plane_off, mesh)
         n_new, n_over = (int(x) for x in np.asarray(_batch_scalars(meta)))
         if n_over > 0:
-            # more integrable seeds than the compaction cap: redo this
-            # batch uncapped (same key -> identical proposals, so nothing
-            # is clipped).  Rare; costs one extra compile the first time.
+            # more integrable (or boundary-alive) seeds than a compaction
+            # cap: redo this batch uncapped (same key -> identical
+            # proposals, so nothing is clipped).  Rare; costs one extra
+            # compile the first time.
             import logging
             logging.getLogger('tc_risk_tpu').warning(
-                'integrate_cap=%.2f overflowed by %d seeds (batch %d); '
-                'falling back to an uncapped launch',
-                cfg.integrate_cap, n_over, b_i)
-            cfg_full = cfg.replace(integrate_cap=1.0)
+                'compaction cap overflowed by %d seeds (batch %d, '
+                'integrate_cap=%s recompact_cap=%s); falling back to an '
+                'uncapped launch', n_over, b_i, cfg.integrate_cap,
+                cfg.recompact_cap)
+            cfg_full = cfg.replace(integrate_cap=1.0, recompact_step=None,
+                                   recompact_cap=None)
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)

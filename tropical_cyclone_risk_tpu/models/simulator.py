@@ -95,22 +95,21 @@ def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt,
     return _rk4_step(rhs_fn, t, y, dt)
 
 
-def integrate_raw(pack: FieldPack, cfg: Namelist, basin_id: str,
-                  y0: fast.State, params: fast.SeedParams,
-                  integrate_mask: jnp.ndarray) -> RawTracks:
-    """Integrate the batch for cfg.n_steps_output samples; time-major
-    unmasked output (see RawTracks).
+def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
+                      alive0: jnp.ndarray, params: fast.SeedParams,
+                      k0: int, n_steps: int):
+    """Scan samples k0 .. k0+n_steps-1 from carry (y0, alive0).
 
-    integrate_mask: [N] seeds that passed all genesis gates; others produce
-    dead (alive-nowhere) tracks at zero extra cost (lockstep SIMD).
-    """
-    bounds = basins.basin_bounds(cfg, basin_id)
-    n_steps = cfg.n_steps_output
+    Returns (time-major outputs (lon, lat, v, m, wnds, alive), final carry
+    (y_end, alive_end) = the state AT sample k0+n_steps).  Segmenting lets
+    the launch re-compact the batch to the surviving storms mid-track
+    (pipeline.launch_body): frozen-state semantics make the segments
+    exactly composable — a storm dead at the boundary replays its frozen
+    state either way."""
     dt_out = float(cfg.output_interval_s)
     sub = max(1, int(cfg.rk_substeps))
     dt = dt_out / sub
 
-    stacks = fields_mod.build_stacks(pack)
     if cfg.rk_exact_stage_fields:
         step_fn = lambda t, y, h, f=None: _rk4_step(
             lambda tt, yy: fast.rhs(stacks, cfg, tt, yy, params), t, y, h)
@@ -118,13 +117,9 @@ def integrate_raw(pack: FieldPack, cfg: Namelist, basin_id: str,
         step_fn = lambda t, y, h, f=None: _rk4_step_frozen_fields(
             stacks, cfg, params, t, y, h, f)
 
-    # genesis gates evaluated with the track's own Fourier draws
-    keep = fast.ventilation_index_reject(stacks, cfg, y0, params)
-    alive0 = integrate_mask & keep
-
     # default path: evaluate the Fourier flow for all steps as one matmul
     # and stream per-step [N, W] slices through the scan (evaluate_grid)
-    ks = jnp.arange(n_steps)
+    ks = k0 + jnp.arange(n_steps)
     if not cfg.rk_exact_stage_fields and sub == 1:
         f_all = params.fourier.evaluate_grid(ks.astype(jnp.float32) * dt_out)
         xs = (ks, f_all)
@@ -149,9 +144,33 @@ def integrate_raw(pack: FieldPack, cfg: Namelist, basin_id: str,
         out = (y.lon, y.lat, y.v, y.m, wnds0, alive)
         return (y1, alive1), out
 
-    (_, _), (lon, lat, v, m, wnds, alive) = jax.lax.scan(
-        step, (y0, alive0), xs)
+    carry_end, outs = jax.lax.scan(step, (y0, alive0), xs)
+    return outs, carry_end
 
+
+def genesis_alive(pack: FieldPack, cfg: Namelist, y0: fast.State,
+                  params: fast.SeedParams, integrate_mask: jnp.ndarray):
+    """Step-0 alive mask: genesis gates evaluated with the track's own
+    Fourier draws (coupled_fast.py:237-244)."""
+    stacks = fields_mod.build_stacks(pack)
+    keep = fast.ventilation_index_reject(stacks, cfg, y0, params)
+    return integrate_mask & keep
+
+
+def integrate_raw(pack: FieldPack, cfg: Namelist, basin_id: str,
+                  y0: fast.State, params: fast.SeedParams,
+                  integrate_mask: jnp.ndarray) -> RawTracks:
+    """Integrate the batch for cfg.n_steps_output samples; time-major
+    unmasked output (see RawTracks).
+
+    integrate_mask: [N] seeds that passed all genesis gates; others produce
+    dead (alive-nowhere) tracks at zero extra cost (lockstep SIMD).
+    """
+    bounds = basins.basin_bounds(cfg, basin_id)
+    stacks = fields_mod.build_stacks(pack)
+    alive0 = genesis_alive(pack, cfg, y0, params, integrate_mask)
+    (lon, lat, v, m, wnds, alive), _ = integrate_segment(
+        stacks, cfg, bounds, y0, alive0, params, 0, cfg.n_steps_output)
     last_step = jnp.maximum(jnp.sum(alive.astype(jnp.int32), axis=0) - 1, 0)
     return RawTracks(lon, lat, v, m, wnds, alive, last_step)
 

@@ -60,23 +60,33 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         raise ValueError(f'seed batch {n} not divisible by {n_dev} devices')
     n_local = n // n_dev
 
+    m_local = pipeline.launch_width(cfg, n_local)
+    m2_local = pipeline.recompact_width(cfg, m_local)
+    seg = pipeline._seg_active(cfg, m_local)
+
     def local_shard(key, plane_offset, pack: FieldPack):
-        # decorrelate shards: fold the device index into the key
+        # decorrelate shards: fold the device index into the key; offset
+        # segment-B indices so they address the concatenated global B axis
         d = jax.lax.axis_index(SEED_AXIS)
         return pipeline.launch_body(jax.random.fold_in(key, d), pack, cfg,
-                                    basin_id, n_local, plane_offset)
+                                    basin_id, n_local, plane_offset,
+                                    b_index_offset=d * m2_local)
 
     # per-seed arrays are sharded on axis 0; time-major track buffers on
     # axis 1 (launch_body's scan-native [T, m_local] layout).  The
     # integrate-compacted track axis concatenates shard-major, preserving
     # slot order within each shard — consistent with the shard-major full
     # seed axis the stopping rule counts over.
-    m_total = n_dev * pipeline.launch_width(cfg, n_local)
+    m_total = n_dev * m_local
+    out_specs = {'seed': P(SEED_AXIS), 'trk': P(SEED_AXIS),
+                 'tm': P(None, SEED_AXIS), 'overflow': P(SEED_AXIS)}
+    if seg:
+        out_specs['tmB'] = P(None, SEED_AXIS)
+        out_specs['seg'] = P(SEED_AXIS)
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs={'seed': P(SEED_AXIS), 'trk': P(SEED_AXIS),
-                   'tm': P(None, SEED_AXIS), 'overflow': P(SEED_AXIS)},
+        out_specs=out_specs,
         check_vma=False)
 
     def launch(key, plane_offset, pack: FieldPack):

@@ -111,9 +111,9 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
         cfg = pipeline.auto_integrate_cap(
             jax.random.fold_in(key, years[0]), pack, cfg, basin_id)
         obs.log.info('integrate_cap auto-tuned to %.4f (scan width %d of '
-                     '%d seeds)', cfg.integrate_cap,
+                     '%d seeds); recompact %s @ step %s', cfg.integrate_cap,
                      pipeline.launch_width(cfg, cfg.seed_batch),
-                     cfg.seed_batch)
+                     cfg.seed_batch, cfg.recompact_cap, cfg.recompact_step)
     t0 = time.time()
     metrics = obs.Metrics()
     results = []
