@@ -113,21 +113,33 @@ def _level_indices(cfg: Namelist, ds: netcdf.Dataset) -> List[int]:
     return idx
 
 
-def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str
+def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str,
+                       pair_ds=None
                        ) -> Optional[Dict[Tuple[int, int], np.ndarray]]:
     """Monthly wind stats from one (u, v) daily file pair
-    (track/env_wind.py:120-228).  Returns {(year, month): [14, nlat, nlon]}."""
-    ds_u = netcdf.read(fn_u)
-    ds_v = netcdf.read(fn_v)
-    u_raw = np.asarray(ds_u[tcin.var_key(cfg, 'u')].data)
-    v_raw = np.asarray(ds_v[tcin.var_key(cfg, 'v')].data)
+    (track/env_wind.py:120-228).  Returns {(year, month): [14, nlat, nlon]}.
+
+    pair_ds: optional pre-read (ds_u, ds_v) (the prefetch thread of
+    gen_wind_mean_cov overlaps the next pair's file IO with this pair's
+    reduction)."""
+    ds_u, ds_v = pair_ds if pair_ds is not None else (netcdf.read(fn_u),
+                                                     netcdf.read(fn_v))
+    # classic NetCDF is big-endian: convert whole arrays to native float32
+    # up front (contiguous vectorized byteswap, ~GB/s) — every strided
+    # slice-assignment from a '>f4' view would otherwise fall into numpy's
+    # per-element byteswap loops (measured ~7 s per year pair)
+    u_raw = np.ascontiguousarray(ds_u[tcin.var_key(cfg, 'u')].data,
+                                 np.float32)
+    v_raw = np.ascontiguousarray(ds_v[tcin.var_key(cfg, 'v')].data,
+                                 np.float32)
     times = tcin.times_of(ds_u)
 
     t0, t1 = tcin.bounding_times(cfg)
     sel = (times >= np.datetime64(t0, 's')) & (times <= np.datetime64(t1, 's'))
     if not sel.any():
         return None
-    u_raw, v_raw, times = u_raw[sel], v_raw[sel], times[sel]
+    if not sel.all():              # common case: whole file in range, no copy
+        u_raw, v_raw, times = u_raw[sel], v_raw[sel], times[sel]
 
     # interleave to (ua_l1, va_l1, ua_l2, va_l2, ...) in one allocation:
     # the reference's wind vector order is per-level (u, v) pairs
@@ -166,19 +178,36 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
             f'no daily wind files under {cfg.base_directory} '
             f'(prefix {cfg.exp_prefix})')
 
-    # serial over file pairs on purpose: each pair holds ~3 GB of daily
-    # fields in flight, so a thread pool (tried; the reference's dask
-    # process fan-out, track/env_wind.py:93-97) thrashes memory and ran 3x
-    # SLOWER than this loop on the 6-year workspace
+    # the reduction stays serial on purpose — both a compute THREAD pool
+    # (GIL + memory thrash, 3x slower) and a 4-worker PROCESS pool
+    # (parallel cold reads thrash the virtio disk: 96 s vs 62 s on the
+    # cold 6-year workspace) were measured worse than one stream.  A
+    # single prefetch thread reads the NEXT pair's files while the
+    # current pair reduces (file IO releases the GIL; at most two pairs
+    # resident).
+    import threading
+    pairs = list(zip(fns_u, fns_v))
     stats: Dict[Tuple[int, int], np.ndarray] = {}
     lon = lat = None
-    for fn_u, fn_v in zip(fns_u, fns_v):
-        pair = compute_pair_stats(cfg, fn_u, fn_v)
+
+    def read_pair(i):
+        return (netcdf.read(pairs[i][0]), netcdf.read(pairs[i][1]))
+
+    nxt: List = [read_pair(0)] if pairs else []
+    for i, (fn_u, fn_v) in enumerate(pairs):
+        cur = nxt[0]
+        t = None
+        if i + 1 < len(pairs):
+            t = threading.Thread(target=lambda j=i + 1: nxt.__setitem__(
+                0, read_pair(j)))
+            t.start()
+        pair = compute_pair_stats(cfg, fn_u, fn_v, pair_ds=cur)
         if pair:
             stats.update(pair)
             if lon is None:
-                ds_u = netcdf.read(fn_u)
-                lon, lat = tcin.axes_of(cfg, ds_u)
+                lon, lat = tcin.axes_of(cfg, cur[0])
+        if t is not None:
+            t.join()
 
     if not stats:
         raise ValueError('no wind data within the configured date range')
