@@ -242,6 +242,53 @@ def test_integrate_cap_overflow_falls_back():
     np.testing.assert_array_equal(yt.n_seeds, yt_full.n_seeds)
 
 
+def test_take_capped_at_materialized_rows(monkeypatch):
+    """A (sharded) launch can report more survivors in the full-width keep
+    mask than the k_max materialized track rows; the year loop must accept
+    at most k_max per batch and draw another batch, never slicing past the
+    buffer (which silently under-delivered rows while counting the quota
+    as filled)."""
+    cfg = Namelist(seed_batch=64).replace(integrate_cap=1.0)
+    T = cfg.n_steps_output
+    # quota 80 > launch_width 64: k_max=64 rows materialized per batch,
+    # while the fake keep mask reports 70 survivors
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    calls = []
+
+    def fake_dispatch(bkey, pack_y, c, basin_id, N, km, plane_off, mesh):
+        b = len(calls)
+        calls.append(km)
+        keep = np.zeros(N, bool)
+        keep[: km + 6] = True                 # 6 more survivors than rows
+        tracks = {
+            'lon': jnp.full((km, T), 100.0 + b), 'lat': jnp.ones((km, T)),
+            'v': jnp.ones((km, T)), 'm': jnp.ones((km, T)),
+            'vmax': jnp.ones((km, T)), 'wnds': jnp.ones((km, T, 4)),
+            'month': jnp.full((km,), 7, jnp.int32),
+            'basin_idx': jnp.zeros((km,), jnp.int32),
+            'valid': jnp.ones((km,), bool),
+        }
+        meta = {'keep': jnp.asarray(keep),
+                'counted': jnp.asarray(keep),
+                'basin_idx': jnp.zeros((N,), jnp.int32),
+                'month': jnp.full((N,), 7, jnp.int32),
+                'overflow': jnp.zeros((2,), jnp.int32)}
+        return tracks, meta
+
+    monkeypatch.setattr(pipeline, '_dispatch_batch', fake_dispatch)
+    monkeypatch.setattr(fields_mod, 'slice_pack_year',
+                        lambda pack, c, y: pack)
+    yt = pipeline.run_tracks_year(jax.random.key(0), None, cfg, 'GL', 0,
+                                  n_tracks=80)
+    km = calls[0]
+    assert km == 64
+    assert yt.lon.shape[0] == 80              # full quota, no short rows
+    # first batch contributes exactly its materialized rows, second batch
+    # the remainder
+    assert np.all(yt.lon[:km, 0] == 100.0)
+    assert np.all(yt.lon[km:80, 0] == 101.0)
+
+
 def test_year_slice_out_of_range_months_rejected():
     """Months outside the configured data range integrate=False via the
     vpot-zero padding (reference: out-of-range time interp -> NaN -> vpot 0

@@ -46,7 +46,7 @@ trivial = jax.jit(lambda x: x + 1)
 x8 = jnp.zeros(8)
 timeit('relay round-trip (x+1 on [8])', trivial, x8)
 
-# 1. seeding (48-round rejection gathers)
+# 1. seeding (16-round rejection gathers, corner-packed)
 prop_fn = jax.jit(lambda k: seeding.propose_seeds(k, pack, cfg, 'GL', N,
                                                   jnp.int32(0)))
 timeit('propose_seeds', prop_fn, jax.random.key(0))

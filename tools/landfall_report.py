@@ -67,13 +67,13 @@ def main(argv=None):
         'simulated_years': int(total_years),
         'landfall_fraction': round(float(made_lf.mean()), 4),
         'landfall_count': int(made_lf.sum()),
-        'landfall_vmax_ms': {
+        'landfall_vmax_ms': ({
             'mean': round(float(lf_vmax.mean()), 2),
             'p50': round(float(np.percentile(lf_vmax, 50)), 2),
             'p95': round(float(np.percentile(lf_vmax, 95)), 2),
             'p99': round(float(np.percentile(lf_vmax, 99)), 2),
             'max': round(float(lf_vmax.max()), 2),
-        },
+        } if lf_vmax.size else None),
         'poi': {'lon': args.poi_lon, 'lat': args.poi_lat,
                 'radius_km': 100.0},
         'vmax_bins_ms': [float(b) for b in bins],

@@ -452,7 +452,11 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)
             n_new = int(np.asarray(_batch_scalars(meta))[0])
-        take = min(n_new, n_tracks - got)
+        # cap at k_max: a sharded launch can keep more survivors than the
+        # k_max materialized track rows (per-shard width rounding); the
+        # extras are simply not accepted this batch and the loop draws
+        # another batch for the remaining quota
+        take = min(n_new, n_tracks - got, k_max)
         if take > 0:
             host = jax.device_get({k: v[:take] for k, v in tracks.items()})
             rows.append(host)

@@ -193,13 +193,23 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
     def read_pair(i):
         return (netcdf.read(pairs[i][0]), netcdf.read(pairs[i][1]))
 
+    def prefetch(j):
+        # store the result OR the exception: a corrupt/truncated file must
+        # fail the run loudly, not silently reuse the previous pair
+        try:
+            nxt[0] = read_pair(j)
+        except Exception as e:        # noqa: BLE001 — re-raised on consume
+            nxt[0] = e
+
     nxt: List = [read_pair(0)] if pairs else []
     for i, (fn_u, fn_v) in enumerate(pairs):
         cur = nxt[0]
+        if isinstance(cur, Exception):
+            raise RuntimeError(f'failed reading wind pair {fn_u}, {fn_v}'
+                               ) from cur
         t = None
         if i + 1 < len(pairs):
-            t = threading.Thread(target=lambda j=i + 1: nxt.__setitem__(
-                0, read_pair(j)))
+            t = threading.Thread(target=prefetch, args=(i + 1,))
             t.start()
         pair = compute_pair_stats(cfg, fn_u, fn_v, pair_ds=cur)
         if pair:
