@@ -130,10 +130,30 @@ def _read_h5(path: str) -> Dataset:
 
 
 def _read_classic(path: str) -> Dataset:
+    import io as _io
+
     from scipy.io import netcdf_file
 
     ds = Dataset()
-    with netcdf_file(path, 'r', mmap=False) as f:
+    # slurp the file sequentially and parse from memory: scipy's buffered
+    # per-variable reads run at single-digit MB/s on a cold page cache
+    # (latency-bound small reads), and even one giant read() crawls at
+    # ~26 MB/s on this image's virtio disk — 4 MB chunks with
+    # POSIX_FADV_SEQUENTIAL stream at ~125-190 MB/s (measured)
+    chunks = []
+    with open(path, 'rb') as fraw:
+        try:
+            os.posix_fadvise(fraw.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)
+        except (AttributeError, OSError):
+            pass
+        while True:
+            c = fraw.read(1 << 22)
+            if not c:
+                break
+            chunks.append(c)
+    buf = _io.BytesIO(b''.join(chunks))
+    del chunks
+    with netcdf_file(buf, 'r', mmap=False) as f:
         ds.attrs = {k: _decode_attr(v) for k, v in f._attributes.items()}
         for name, var in f.variables.items():
             attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
