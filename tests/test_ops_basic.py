@@ -209,3 +209,24 @@ def test_inv_trans_sampling_and_nc_valid(tmp_path):
     bad = tmp_path / 'bad.nc'
     bad.write_bytes(b'not netcdf')
     assert not u.is_nc_file_valid(str(bad))
+
+
+def test_translational_speed_single_sample():
+    """Length-1 tracks return NaN (util/sphere.py:59-60), not empty arrays
+    that would silently drop the time axis downstream."""
+    from tropical_cyclone_risk_tpu.ops import sphere
+    ut, vt = sphere.translational_speed(jnp.ones((5, 1)), jnp.ones((5, 1)),
+                                        3600.0)
+    assert ut.shape == vt.shape == (5, 1)
+    assert np.all(np.isnan(np.asarray(ut))) and np.all(np.isnan(np.asarray(vt)))
+
+
+def test_bilinear_rejects_spurious_plane_idx():
+    """A plane_idx given with an unstacked (3-D) field is a caller bug —
+    it would silently serve one plane for every query month."""
+    field = jnp.zeros((5, 7, 2))
+    grid = interp.UniformGrid(lon0=0.0, dlon=1.0, nlon=7,
+                              lat0=0.0, dlat=1.0, nlat=5)
+    with pytest.raises(ValueError, match='no plane axis'):
+        interp.bilinear(field, grid, jnp.zeros(3), jnp.zeros(3),
+                        plane_idx=jnp.zeros(3, jnp.int32))

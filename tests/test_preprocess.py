@@ -337,3 +337,20 @@ def test_gen_thermo_chunking_equivalence(workdir, tmp_path):
     np.testing.assert_array_equal(v_ref, v5)
     np.testing.assert_array_equal(c_ref, c5)
     np.testing.assert_array_equal(r_ref, r5)
+
+
+def test_gen_thermo_threads_cecd(workdir, tmp_path):
+    """The exchange-coefficient ratio enters the PI itself
+    (thermo/thermo.py:268,410: vpot = sqrt(cecd * sst/T_out * dCAPE)),
+    separate from the PI_reduc*sqrt(Ck/Cd) applied at vpot load
+    (util/compute.py:76).  With Cd != Ck, the thermo file's vmax must
+    scale by sqrt(Ck/Cd)."""
+    cfg, _, _ = workdir
+    fn_ref = thermo_driver.gen_thermo(cfg)
+    v_ref, *_ = thermo_driver.read_thermo(fn_ref)
+    cfg2 = cfg.replace(output_directory=str(tmp_path), Cd=2.0 * cfg.Ck)
+    v2, *_ = thermo_driver.read_thermo(thermo_driver.gen_thermo(cfg2))
+    pos = v_ref > 5.0
+    assert pos.any()
+    np.testing.assert_allclose(v2[pos] / v_ref[pos], np.sqrt(0.5),
+                               rtol=2e-5)

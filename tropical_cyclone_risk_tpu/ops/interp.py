@@ -70,6 +70,35 @@ def _cell_and_weight(x, x0, dx, n):
     return i, w
 
 
+def _flat_base(field, grid: UniformGrid, lon, lat,
+               plane_idx: Optional[jnp.ndarray]):
+    """Shared query machinery of bilinear / bilinear_packed: flatten the
+    field's spatial (and optional plane) axes, compute each query's base
+    cell index and fractional weights.  Returns (flat [rows, C], base [N],
+    wx [N, 1], wy [N, 1])."""
+    ix, wx = _cell_and_weight(lon, grid.lon0, grid.dlon, grid.nlon)
+    iy, wy = _cell_and_weight(lat, grid.lat0, grid.dlat, grid.nlat)
+    if field.ndim == 3:
+        if plane_idx is not None:
+            raise ValueError('plane_idx given but the field has no plane '
+                             'axis — a collapsed field would silently '
+                             'serve one plane for every query')
+        flat = field.reshape(grid.nlat * grid.nlon, field.shape[-1])
+        base = iy * grid.nlon + ix
+    else:
+        if plane_idx is None:
+            raise ValueError('plane_idx required for a stacked field')
+        flat = field.reshape(field.shape[0] * grid.nlat * grid.nlon,
+                             field.shape[-1])
+        base = (plane_idx.astype(jnp.int32) * grid.nlat + iy) * grid.nlon + ix
+    return flat, base, wx[..., None], wy[..., None]
+
+
+def _blend(c00, c01, c10, c11, wx, wy):
+    return ((1 - wy) * ((1 - wx) * c00 + wx * c01) +
+            wy * ((1 - wx) * c10 + wx * c11))
+
+
 def bilinear(field, grid: UniformGrid, lon, lat,
              plane_idx: Optional[jnp.ndarray] = None):
     """Bilinearly interpolate a packed field stack at query points.
@@ -81,28 +110,12 @@ def bilinear(field, grid: UniformGrid, lon, lat,
     Returns [N, C].  Edge behavior matches scipy RectBivariateSpline kx=ky=1
     (clamped to the boundary outside the grid).
     """
-    ix, wx = _cell_and_weight(lon, grid.lon0, grid.dlon, grid.nlon)
-    iy, wy = _cell_and_weight(lat, grid.lat0, grid.dlat, grid.nlat)
-
-    if field.ndim == 3:
-        flat = field.reshape(grid.nlat * grid.nlon, field.shape[-1])
-        base = iy * grid.nlon + ix
-    else:
-        if plane_idx is None:
-            raise ValueError('plane_idx required for a stacked field')
-        flat = field.reshape(field.shape[0] * grid.nlat * grid.nlon,
-                             field.shape[-1])
-        base = (plane_idx.astype(jnp.int32) * grid.nlat + iy) * grid.nlon + ix
-
+    flat, base, wx, wy = _flat_base(field, grid, lon, lat, plane_idx)
     c00 = jnp.take(flat, base, axis=0)
     c01 = jnp.take(flat, base + 1, axis=0)
     c10 = jnp.take(flat, base + grid.nlon, axis=0)
     c11 = jnp.take(flat, base + grid.nlon + 1, axis=0)
-
-    wx = wx[..., None]
-    wy = wy[..., None]
-    return ((1 - wy) * ((1 - wx) * c00 + wx * c01) +
-            wy * ((1 - wx) * c10 + wx * c11))
+    return _blend(c00, c01, c10, c11, wx, wy)
 
 
 def bilinear_scalar(field2d, grid: UniformGrid, lon, lat,
@@ -149,24 +162,8 @@ def bilinear_packed(field4, grid: UniformGrid, lon, lat,
     field4: [nlat, nlon, 4C] or [P, nlat, nlon, 4C]; returns [N, C].
     Numerically identical to :func:`bilinear` on the unpacked field.
     """
-    ix, wx = _cell_and_weight(lon, grid.lon0, grid.dlon, grid.nlon)
-    iy, wy = _cell_and_weight(lat, grid.lat0, grid.dlat, grid.nlat)
-    C4 = field4.shape[-1]
-    C = C4 // 4
-    if field4.ndim == 3:
-        flat = field4.reshape(grid.nlat * grid.nlon, C4)
-        base = iy * grid.nlon + ix
-    else:
-        if plane_idx is None:
-            raise ValueError('plane_idx required for a stacked field')
-        flat = field4.reshape(field4.shape[0] * grid.nlat * grid.nlon, C4)
-        base = (plane_idx.astype(jnp.int32) * grid.nlat + iy) * grid.nlon + ix
+    C = field4.shape[-1] // 4
+    flat, base, wx, wy = _flat_base(field4, grid, lon, lat, plane_idx)
     row = jnp.take(flat, base, axis=0)
-    c00 = row[:, 0 * C:1 * C]
-    c01 = row[:, 1 * C:2 * C]
-    c10 = row[:, 2 * C:3 * C]
-    c11 = row[:, 3 * C:4 * C]
-    wx = wx[..., None]
-    wy = wy[..., None]
-    return ((1 - wy) * ((1 - wx) * c00 + wx * c01) +
-            wy * ((1 - wx) * c10 + wx * c11))
+    return _blend(row[:, 0 * C:1 * C], row[:, 1 * C:2 * C],
+                  row[:, 2 * C:3 * C], row[:, 3 * C:4 * C], wx, wy)

@@ -40,6 +40,12 @@ def translational_speed(lon, lat, dt_s):
     lon, lat: [..., T] track positions at spacing dt_s seconds.
     Returns (ut, vt) with shape [..., T].
     """
+    if lon.shape[-1] <= 1:
+        # single-sample track: no difference exists (util/sphere.py:59-60
+        # returns NaN; without the guard the edge-extrapolation slices
+        # broadcast to size 0 and the time axis silently vanishes)
+        nan = jnp.full(lon.shape, jnp.nan, jnp.result_type(lon, jnp.float32))
+        return nan, nan
     e_lon = jnp.concatenate([2 * lon[..., :1] - lon[..., 1:2], lon,
                              2 * lon[..., -1:] - lon[..., -2:-1]], axis=-1)
     e_lat = jnp.concatenate([2 * lat[..., :1] - lat[..., 1:2], lat,

@@ -54,8 +54,12 @@ def compute_thermo_month(cfg: Namelist, table: pi_ops.EntropyTable,
     Any leading batch axes (e.g. a month chunk) broadcast straight through —
     every operation here is per-column.
     """
+    # cecd INSIDE the PI (thermo/thermo.py:268,410) is separate from the
+    # additional PI_reduc*sqrt(Ck/Cd) applied at vpot load time
+    # (util/compute.py:76 -> models/pack_builder.py) — the reference
+    # applies the ratio in BOTH places
     vmax = pi_ops.cape_pi(sst_k, psl, jnp.asarray(lvl_pa, jnp.float32),
-                          ta, hus, table,
+                          ta, hus, table, cecd=cfg.Ck / cfg.Cd,
                           select_thermo=cfg.select_thermo,
                           select_interp=cfg.select_interp)
     i_mid = int(np.argmin(np.abs(lvl_pa - cfg.p_midlevel)))
