@@ -1,0 +1,113 @@
+"""Offline whole-chain parity report at larger sample size than the CI
+test (tests/test_chain_parity.py): the full TPU pipeline vs the
+sequential solve_ivp reference chain on the same synthetic environment.
+
+Usage:  JAX_PLATFORMS=cpu python tools/chain_parity_report.py \
+            [--ref-seeds 20000] [--launches 6] [--json docs/chain_parity.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, 'tests'))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ref-seeds', type=int, default=20000)
+    ap.add_argument('--launches', type=int, default=6)
+    ap.add_argument('--json', default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if jax.default_backend() not in ('cpu', 'tpu'):
+        pass
+    import jax.numpy as jnp
+    from scipy.stats import ks_2samp
+
+    from tropical_cyclone_risk_tpu.config import Namelist
+    from tropical_cyclone_risk_tpu.models import pipeline
+    from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
+    from reference_chain import ReferenceChain
+
+    cfg = Namelist(seed_batch=8192)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+
+    rc = ReferenceChain(pack, cfg, 'GL')
+    tracks, n_counted_ref, _ = rc.run(np.random.default_rng(0),
+                                      args.ref_seeds)
+    ref_lmi = np.array([t.vmax.max() for t in tracks])
+    ref_lat0 = np.array([t.lat[0] for t in tracks])
+    ref_month = np.array([t.month for t in tracks])
+    ref_pos = np.concatenate([np.stack([t.lon, t.lat], 1) for t in tracks])
+    ref_surv = len(tracks) / n_counted_ref
+
+    lmis, lat0s, months, poss = [], [], [], []
+    n_counted = n_kept = 0
+    for i in range(args.launches):
+        tr, meta = pipeline._simulate_batch(
+            jax.random.key(100 + i), pack, cfg, 'GL', cfg.seed_batch,
+            1024, jnp.int32(0))
+        valid = np.asarray(tr['valid'])
+        k = int(valid.sum())
+        vmax = np.asarray(tr['vmax'])[:k]
+        lon = np.asarray(tr['lon'])[:k]
+        lat = np.asarray(tr['lat'])[:k]
+        with np.errstate(all='ignore'):
+            lmis.append(np.nanmax(np.where(np.isfinite(vmax), vmax,
+                                           -np.inf), axis=1))
+        lat0s.append(lat[:, 0])
+        months.append(np.asarray(tr['month'])[:k])
+        fin = np.isfinite(lon)
+        poss.append(np.stack([lon[fin], lat[fin]], 1))
+        n_counted += int(np.asarray(meta['counted']).sum())
+        n_kept += k
+    tpu_lmi = np.concatenate(lmis)
+    tpu_lat0 = np.concatenate(lat0s)
+    tpu_month = np.concatenate(months)
+    tpu_pos = np.concatenate(poss)
+    tpu_surv = n_kept / n_counted
+
+    def density(pos):
+        h, _, _ = np.histogram2d(pos[:, 1], pos[:, 0] % 360.0,
+                                 bins=(np.arange(-90, 92, 4.0),
+                                       np.arange(0, 364, 4.0)))
+        return h / h.sum()
+
+    p, q = density(ref_pos), density(tpu_pos)
+    month_tv = 0.5 * np.abs(
+        np.bincount(ref_month.astype(int), minlength=13)[1:] / ref_month.size
+        - np.bincount(tpu_month.astype(int), minlength=13)[1:]
+        / tpu_month.size).sum()
+
+    report = {
+        'n_ref_tracks': int(ref_lmi.size),
+        'n_tpu_tracks': int(tpu_lmi.size),
+        'ks_lmi': round(float(ks_2samp(ref_lmi, tpu_lmi).statistic), 4),
+        'ks_genesis_lat': round(float(ks_2samp(np.abs(ref_lat0),
+                                               np.abs(tpu_lat0)).statistic),
+                                4),
+        'seasonal_total_variation': round(float(month_tv), 4),
+        'track_density_overlap': round(float(np.minimum(p, q).sum()), 4),
+        'survival_ref': round(float(ref_surv), 5),
+        'survival_tpu': round(float(tpu_surv), 5),
+        'survival_ratio': round(float(tpu_surv / ref_surv), 4),
+        'ks_1pct_critical': round(
+            1.63 * np.sqrt((ref_lmi.size + tpu_lmi.size)
+                           / (ref_lmi.size * tpu_lmi.size)), 4),
+    }
+    out = json.dumps(report, indent=1)
+    if args.json:
+        with open(args.json, 'w') as f:
+            f.write(out + '\n')
+    print(out)
+
+
+if __name__ == '__main__':
+    main()
