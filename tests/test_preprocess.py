@@ -354,3 +354,65 @@ def test_gen_thermo_threads_cecd(workdir, tmp_path):
     assert pos.any()
     np.testing.assert_allclose(v2[pos] / v_ref[pos], np.sqrt(0.5),
                                rtol=2e-5)
+
+
+def test_gen_thermo_sst_lon_convention(workdir, tmp_path):
+    """An SST file on a -180..180 longitude grid (HadISST/OISST-style tos)
+    against the 0..360 atmosphere must produce the same thermo output as
+    the 0..360 SST file — regrid queries rotate, never clamp."""
+    cfg, _, _ = workdir
+    v_ref, *_ = thermo_driver.read_thermo(thermo_driver.gen_thermo(cfg))
+
+    # rewrite the SST file rotated to -180..180 on a COARSER grid (forces
+    # the regrid path), everything else shared
+    ds = netcdf.read(f'{cfg.base_directory}/era5_sst_2016.nc')
+    sst = np.asarray(ds['sst'].data, np.float32)
+    lon = np.asarray(ds['longitude'].data, np.float64)
+    lat = np.asarray(ds['latitude'].data, np.float64)
+    lon180 = np.where(lon > 180.0, lon - 360.0, lon)
+    order = np.argsort(lon180)
+    raw2 = tmp_path / 'raw2'
+    os.makedirs(raw2)
+    import shutil
+    for fn in os.listdir(cfg.base_directory):
+        if 'sst' not in fn:
+            shutil.copy(os.path.join(cfg.base_directory, fn), raw2 / fn)
+    t_attrs = {'units': str(ds['time'].attrs.get('units'))}
+    netcdf.write(str(raw2 / 'era5_sst_2016.nc'),
+                 {'sst': (('time', 'latitude', 'longitude'),
+                          sst[:, :, order])},
+                 coords={'time': np.asarray(ds['time'].data),
+                         'latitude': lat, 'longitude': lon180[order]},
+                 var_attrs={'time': t_attrs, 'sst': {'units': 'K'}})
+    cfg2 = cfg.replace(base_directory=str(raw2),
+                       output_directory=str(tmp_path / 'out2'))
+    os.makedirs(tmp_path / 'out2')
+    v2, *_ = thermo_driver.read_thermo(thermo_driver.gen_thermo(cfg2))
+    # same grid, same data, only the stored longitude convention differs ->
+    # identical PI except float noise from the (identity) regrid
+    np.testing.assert_allclose(v2, v_ref, atol=1e-3)
+
+
+def test_basin_masks_lon_convention(workdir, tmp_path):
+    """Basin masks stored with -180..180 longitudes must load rotated to
+    the canonical ascending 0..360 axis, not clamp seeding gathers."""
+    from tropical_cyclone_risk_tpu.preprocess import land_masks
+    cfg, _, _ = workdir
+    land_masks.generate_land_masks(cfg.fn_land, cfg.mask_dir)
+    m_ref, lon_ref, lat_ref = land_masks.load_basin_masks(cfg, cfg.mask_dir)
+
+    mask2 = tmp_path / 'land2'
+    os.makedirs(mask2)
+    for b in cfg.basin_ids_sorted():
+        ds = netcdf.read(os.path.join(cfg.mask_dir, f'{b}.nc'))
+        lon = np.asarray(ds['lon'].data, np.float64)
+        arr = np.asarray(ds['basin'].data, np.float32)
+        lon180 = np.where(lon > 180.0, lon - 360.0, lon)
+        order = np.argsort(lon180)
+        netcdf.write(str(mask2 / f'{b}.nc'),
+                     {'basin': (('lat', 'lon'), arr[:, order])},
+                     coords={'lat': np.asarray(ds['lat'].data),
+                             'lon': lon180[order]})
+    m2, lon2, lat2 = land_masks.load_basin_masks(cfg, str(mask2))
+    np.testing.assert_allclose(lon2, lon_ref)
+    np.testing.assert_array_equal(m2, m_ref)

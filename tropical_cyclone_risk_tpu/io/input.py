@@ -13,6 +13,7 @@ from __future__ import annotations
 import calendar as _cal
 import datetime
 import glob
+import os
 import re
 from typing import List, Sequence, Tuple
 
@@ -25,12 +26,15 @@ from tropical_cyclone_risk_tpu.io import netcdf
 
 def glob_prefix(cfg: Namelist, var_prefix: str) -> List[str]:
     """Recursive '*{exp_prefix}*.nc' glob filtered to '_{var}_' basenames
-    (util/input.py:23-28)."""
+    (util/input.py:23-28; the reference filters the FULL path, so a data
+    directory whose name happens to contain '_{var}_' matches every file —
+    basename filtering here, reference bug not replicated)."""
     fns = glob.glob('%s/**/*%s*.nc' % (cfg.base_directory, cfg.exp_prefix),
                     recursive=True)
-    fns_var = sorted(x for x in fns if '_%s_' % var_prefix in x)
+    base = {x: os.path.basename(x) for x in fns}
+    fns_var = sorted(x for x in fns if '_%s_' % var_prefix in base[x])
     if not fns_var:
-        fns_var = sorted(x for x in fns if '%s_' % var_prefix in x)
+        fns_var = sorted(x for x in fns if '%s_' % var_prefix in base[x])
     return fns_var
 
 

@@ -159,6 +159,9 @@ def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
 
 
 def vmax_filter(cfg: Namelist, vmax):
-    """Lifetime-max filter (util/compute.py:205): keep if nanmax >= threshold."""
+    """Lifetime-max filter (util/compute.py:205): keep if nanmax >= threshold.
+
+    Reference-shaped API for one-shot callers; the fused launch inlines the
+    same test on the raw-path peak (pipeline.launch_body)."""
     peak = jnp.nanmax(jnp.where(jnp.isnan(vmax), -jnp.inf, vmax), axis=-1)
     return peak >= cfg.seed_vmax_threshold_ms

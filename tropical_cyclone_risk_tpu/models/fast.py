@@ -175,7 +175,16 @@ def sample_fields_at_time(stacks: F.GatherStacks, cfg: Namelist, lon, lat,
     tau = jnp.clip(t / SECONDS_PER_MONTH, 0.0, 1.0)
     p1 = jnp.minimum(plane + 1, n_planes - 1)
     s0 = sample_fields(stacks, lon, lat, plane)
-    s1 = sample_fields(stacks, lon, lat, p1)
+    if stacks.geo_in_cell:
+        s1 = sample_fields(stacks, lon, lat, p1)
+    else:
+        # land/bathy are plane-independent: re-gather only the per-plane
+        # cell row for p1 (the loop is gather-row-bound; a second geo
+        # gather would lerp two identical values at real cost)
+        cell = interp.bilinear_packed(stacks.cell4, stacks.grid, lon, lat,
+                                      p1)
+        s1 = FieldSample(cell[:, :stacks.n_wind_ch],
+                         cell[:, stacks.n_wind_ch:], s0.land, s0.bathy)
     tau = jnp.broadcast_to(jnp.asarray(tau, s0.env.dtype), lon.shape)
     return FieldSample(
         s0.wind_stats + tau[:, None] * (s1.wind_stats - s0.wind_stats),

@@ -6,7 +6,7 @@ run_tracks (util/compute.py:66-121) plus BetaAdvectionTrack._load_wnd_stat
 per month per process; here the same data becomes four packed device arrays
 built once per run.
 
-Plane layout: plane = (year - start_year) * 12 + (month - 1); thermo and
+Plane layout: plane = (year - start_year) * 12 + (month - start_month); thermo and
 wind-stat files carry mid-month timestamps, so the reference's time
 "interpolation" at the month midpoint (compute.py:108-112) is an exact
 plane select.
@@ -103,7 +103,10 @@ def build_field_pack(cfg: Namelist, basin_id: str,
     from tropical_cyclone_risk_tpu.preprocess import land_masks
     masks, k_lon, k_lat = land_masks.load_basin_masks(cfg, cfg.mask_dir)
     ds_run = netcdf.read(os.path.join(cfg.mask_dir, f'{basin_id}.nc'))
-    run_mask = np.asarray(ds_run['basin'].data, np.float32)
+    _, _, (run_mask,) = tcin.normalize_latlon(
+        np.asarray(ds_run['lon'].data), np.asarray(ds_run['lat'].data),
+        np.asarray(ds_run['basin'].data, np.float32),
+        lat_axis=0, lon_axis=1)
 
     pack = F.FieldPack(
         grid=grid,

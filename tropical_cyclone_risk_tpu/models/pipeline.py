@@ -466,8 +466,18 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 meta['keep'], meta['counted'], meta['basin_idx'],
                 meta['month'], jnp.int32(take - 1), n_basins))
             break
-        n_seeds += np.asarray(_count_seeds_all(
-            meta['counted'], meta['basin_idx'], meta['month'], n_basins))
+        if 0 < take < n_new:
+            # capped by k_max with quota still open: the discarded
+            # survivors are re-drawn from the next batch, so seeds after
+            # the last ACCEPTED survivor's slot must not count either
+            # (they are statistically replaced by the next batch's stream)
+            n_seeds += np.asarray(_count_seeds_upto(
+                meta['keep'], meta['counted'], meta['basin_idx'],
+                meta['month'], jnp.int32(take - 1), n_basins))
+        else:
+            n_seeds += np.asarray(_count_seeds_all(
+                meta['counted'], meta['basin_idx'], meta['month'],
+                n_basins))
     else:
         raise RuntimeError(
             f'track quota not reached after {max_batches} batches '

@@ -52,7 +52,7 @@ class SeedProposal(NamedTuple):
     v_init: jnp.ndarray       # [N]
     m_init: jnp.ndarray       # [N]
     h_bl: jnp.ndarray         # [N]
-    plane: jnp.ndarray        # [N] int32 field plane (year_idx*12 + month-1)
+    plane: jnp.ndarray        # [N] int32 field plane (year_idx*12 + month-start_month)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n'))

@@ -111,12 +111,19 @@ def generate_land_masks(fn_land: str, out_dir: str = 'land',
 def load_basin_masks(cfg, mask_dir: str = 'land'):
     """Load the per-basin masks + run-basin mask as float arrays for a
     FieldPack: ([nlat, nlon, B], grid axes)."""
+    from tropical_cyclone_risk_tpu.io import input as tcin
+
     ids = cfg.basin_ids_sorted()
     arrs = []
     lon = lat = None
     for b in ids:
         ds = netcdf.read(os.path.join(mask_dir, f'{b}.nc'))
-        arrs.append(np.asarray(ds['basin'].data, np.float32))
-        lon = np.asarray(ds['lon'].data)
-        lat = np.asarray(ds['lat'].data)
+        # normalize like every other field loader: externally supplied
+        # masks on a -180..180 or descending-lat grid would otherwise
+        # silently clamp every seeding gather
+        lon, lat, (m,) = tcin.normalize_latlon(
+            np.asarray(ds['lon'].data), np.asarray(ds['lat'].data),
+            np.asarray(ds['basin'].data, np.float32),
+            lat_axis=0, lon_axis=1)
+        arrs.append(m)
     return np.stack(arrs, axis=-1), lon, lat

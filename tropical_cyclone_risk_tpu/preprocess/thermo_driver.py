@@ -95,6 +95,18 @@ def gen_thermo(cfg: Namelist,
     ta_t, ta, ds_ta = tcin.open_monthly(cfg, 'temp').load_range(t0, t1)
     hus_t, hus, ds_hus = tcin.open_monthly(cfg, 'sp_hum').load_range(t0, t1)
     n_t = min(len(sst_t), len(psl_t), len(ta_t), len(hus_t))
+    # the four variables are sliced by INDEX below and timestamps come
+    # from psl alone — a file set missing leading months for one variable
+    # would silently shift every field by a month
+    ref_ym = (tcin.year_of(psl_t[:n_t]) * 12 + tcin.month_of(psl_t[:n_t]))
+    for name, tv in (('sst', sst_t), ('temp', ta_t), ('sp_hum', hus_t)):
+        ym = tcin.year_of(tv[:n_t]) * 12 + tcin.month_of(tv[:n_t])
+        if not np.array_equal(ym, ref_ym):
+            raise ValueError(
+                f'{name} monthly time axis is misaligned with mslp '
+                f'(first differing index '
+                f'{int(np.argmax(ym != ref_ym))}); check for missing '
+                f'files in {cfg.base_directory}')
 
     lon_a, lat_a = tcin.axes_of(cfg, ds_ta)
     lon_s, lat_s = tcin.axes_of(cfg, ds_sst)
@@ -111,13 +123,24 @@ def gen_thermo(cfg: Namelist,
                     or not (np.allclose(lon_s, lon_a)
                             and np.allclose(lat_s, lat_a)))
 
-    # latitude must ascend for the bilinear engine; flip at ingestion
+    if needs_regrid:
+        # normalize the SST grid fully (ascending lat AND ascending 0-360
+        # lon): an ocean-model tos file on a -180..180 grid against a
+        # 0..360 atmosphere (or vice versa) would otherwise silently clamp
+        # every Western-Hemisphere regrid query to the source's east edge.
+        # Queries are then made in the same convention (lon_a % 360) and
+        # the output is written back on the atmosphere file's own axes.
+        lon_s, lat_s, (sst,) = tcin.normalize_latlon(lon_s, lat_s, sst,
+                                                     lat_axis=1, lon_axis=2)
+
+    # atmosphere fields (and the shared-grid SST) only need ascending lat
     def fix_lat(lat, arrs, axis):
         if lat[0] > lat[-1]:
             return lat[::-1].copy(), tuple(np.flip(a, axis=axis) for a in arrs)
         return lat, arrs
 
-    lat_s, (sst,) = fix_lat(lat_s, (sst,), 1)
+    if not needs_regrid:
+        lat_s, (sst,) = fix_lat(lat_s, (sst,), 1)
     lat_a_asc, (psl_a, ta_a, hus_a) = fix_lat(lat_a, (psl, ta, hus), -2)
 
     # months are independent columns: batch them through ONE compiled
@@ -133,7 +156,7 @@ def gen_thermo(cfg: Namelist,
         s = np.nan_to_num(np.asarray(sst[c0:c1], np.float32))
         if needs_regrid:
             s = np.stack([np.asarray(interp.regrid(
-                s[i], lon_s, lat_s, lon_a, lat_a_asc))
+                s[i], lon_s, lat_s, np.mod(lon_a, 360.0), lat_a_asc))
                 for i in range(s.shape[0])])
         if celsius:
             s = s + 273.15

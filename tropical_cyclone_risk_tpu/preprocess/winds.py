@@ -186,6 +186,10 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
     # current pair reduces (file IO releases the GIL; at most two pairs
     # resident).
     import threading
+    if len(fns_u) != len(fns_v):
+        raise ValueError(
+            f'unpaired daily wind files: {len(fns_u)} u-files vs '
+            f'{len(fns_v)} v-files under {cfg.base_directory}')
     pairs = list(zip(fns_u, fns_v))
     stats: Dict[Tuple[int, int], np.ndarray] = {}
     lon = lat = None
@@ -213,6 +217,17 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
             t.start()
         pair = compute_pair_stats(cfg, fn_u, fn_v, pair_ds=cur)
         if pair:
+            dup = sorted(set(pair) & set(stats))
+            if dup:
+                # a month split across two file pairs would overwrite the
+                # first pair's stats with a partial-month estimate — the
+                # covariance cannot be merged from the written moments, so
+                # demand month-aligned files (the reference would emit a
+                # duplicated time axis here, track/env_wind.py:104-113)
+                raise ValueError(
+                    f'months {dup} appear in more than one daily wind '
+                    f'file pair ({fn_u}); split a file set on month '
+                    f'boundaries')
             stats.update(pair)
             if lon is None:
                 lon, lat = tcin.axes_of(cfg, cur[0])
@@ -257,7 +272,12 @@ def read_env_wnd(cfg: Namelist, fn: str) -> Tuple[np.ndarray, np.ndarray,
 
 def deep_layer_winds(cfg: Namelist, env_wnds):
     """Extract (u250, v250, u850, v850) from wind vectors [..., W]
-    (track/env_wind.py:49-55) — the deep-layer shear components."""
+    (track/env_wind.py:49-55) — the deep-layer shear components.
+
+    API parity only (the reference calls its copy; nothing here does) —
+    the hot path resolves shear channels positionally via
+    models.fast.deep_layer_indices, which also handles non-250/850
+    steering-level configurations."""
     names = wind_mean_names(cfg)
     idx = [names.index(n) for n in
            ('ua250_Mean', 'va250_Mean', 'ua850_Mean', 'va850_Mean')]
