@@ -216,6 +216,40 @@ def test_landfall_wraps_prime_meridian():
     assert lf['lon'][0, 0] > 359.0
 
 
+def test_return_period_ci_brackets_estimate(tmp_path):
+    """Year-block bootstrap band: identical blocks give a zero-width band
+    equal to the point estimate; heterogeneous blocks give lo <= rp <= hi
+    with positive width."""
+    cfg = CFG.replace(start_year=2016, end_year=2017)
+    T = cfg.n_steps_output
+    E, n_trk = 2, 4
+    rng = np.random.default_rng(0)
+    lon = np.full((E, n_trk, T), 250.0, np.float32)
+    lat = np.full((E, n_trk, T), 25.0, np.float32)
+    vmax = np.full((E, n_trk, T), 30.0, np.float32)
+    years = np.tile(np.array([2016, 2016, 2017, 2017]), (E, 1))
+    ens_kwargs = dict(
+        tc_month=np.full((E, n_trk), 9), tc_years=years,
+        tc_basins=np.full((E, n_trk), 'NA'),
+        seeds_per_month=np.zeros((E, 2, 7, 12)),
+        year=np.array([2016, 2017]), basin=list(cfg.basin_ids_sorted()))
+    # identical blocks: every (member, year) has the same exceedance set
+    ens = analysis.TrackEnsemble(lon=lon, lat=lat, vmax=vmax, v=vmax,
+                                 **ens_kwargs)
+    bins, rp, lo, hi = analysis.return_period_ci(
+        ens, 250.0, 25.0, vmax_bins=np.array([20.0]), n_boot=200)
+    np.testing.assert_allclose([rp[0], lo[0], hi[0]], 0.5)
+    # heterogeneous: only member 0 / year 2016 tracks reach 60 m/s
+    vmax2 = vmax.copy()
+    vmax2[0, :2] = 65.0
+    ens2 = analysis.TrackEnsemble(lon=lon, lat=lat, vmax=vmax2, v=vmax2,
+                                  **ens_kwargs)
+    bins, rp, lo, hi = analysis.return_period_ci(
+        ens2, 250.0, 25.0, vmax_bins=np.array([20.0, 60.0]), n_boot=500)
+    assert lo[1] <= rp[1] <= hi[1]
+    assert hi[1] > lo[1]          # real sampling uncertainty at the tail
+
+
 def test_landfall_return_periods():
     """Two 1-year members, one landfalling track each at known vmax: the
     return-period curve must count exceedances over member-summed years,

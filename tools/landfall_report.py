@@ -50,9 +50,10 @@ def main(argv=None):
     made_lf = lf['index'] >= 0
     lf_vmax = lf['vmax'][made_lf]
 
-    bins, rp_poi = analysis.return_periods(ens, args.poi_lon, args.poi_lat)
-    _, rp_lf = analysis.landfall_return_periods(ens, land, land_lon,
-                                                land_lat, vmax_bins=bins)
+    bins, rp_poi, poi_lo, poi_hi = analysis.return_period_ci(
+        ens, args.poi_lon, args.poi_lat)
+    _, rp_lf, lf_lo, lf_hi = analysis.landfall_return_period_ci(
+        ens, land, land_lon, land_lat, vmax_bins=bins)
     rp_reg = None
     if args.region:
         _, rp_reg = analysis.landfall_return_periods(
@@ -78,7 +79,9 @@ def main(argv=None):
                 'radius_km': 100.0},
         'vmax_bins_ms': [float(b) for b in bins],
         'return_period_years_poi': fin(rp_poi),
+        'return_period_years_poi_ci90': [fin(poi_lo), fin(poi_hi)],
         'return_period_years_landfall': fin(rp_lf),
+        'return_period_years_landfall_ci90': [fin(lf_lo), fin(lf_hi)],
         'return_period_years_landfall_region': (
             fin(rp_reg) if rp_reg is not None else None),
         'region': list(args.region) if args.region else None,
@@ -97,15 +100,21 @@ def main(argv=None):
         fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
         fig.patch.set_facecolor('#fcfcfb')
         ax.set_facecolor('#fcfcfb')
-        series = [('Landfall (anywhere)', rp_lf, '#2a78d6'),
+        series = [('Landfall (anywhere)', rp_lf, (lf_lo, lf_hi), '#2a78d6'),
                   (f'POI ({args.poi_lon:.0f}E, {args.poi_lat:.0f}N, '
-                   '100 km)', rp_poi, '#eb6834')]
+                   '100 km)', rp_poi, (poi_lo, poi_hi), '#eb6834')]
         if rp_reg is not None:
-            series.append(('Landfall (region box)', rp_reg, '#1baf7a'))
-        for name, rp, color in series:
+            series.append(('Landfall (region box)', rp_reg, None,
+                           '#1baf7a'))
+        for name, rp, band, color in series:
             m = np.isfinite(rp) & (rp > 0)
             ax.plot(bins[m] * MS_TO_KTS, rp[m], color=color, lw=2,
                     label=name)
+            if band is not None:
+                lo, hi = band
+                mb = m & np.isfinite(lo) & np.isfinite(hi)
+                ax.fill_between(bins[mb] * MS_TO_KTS, lo[mb], hi[mb],
+                                color=color, alpha=0.18, lw=0)
         ax.set_yscale('log')
         ax.set_yticks([0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 50, 100,
                        200, 500])

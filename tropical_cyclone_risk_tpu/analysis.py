@@ -243,6 +243,91 @@ def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
     return vmax_bins, rp
 
 
+def _block_ids(ens: TrackEnsemble) -> Tuple[np.ndarray, int]:
+    """Simulated-year block id per track: (member, year) -> 0..E*Y-1.
+    The (member, year) blocks are the independent sampling units of the
+    downscaling (each year's quota is drawn independently), so resampling
+    them bootstraps both storm counts and intensities."""
+    year_pos = np.searchsorted(ens.year, ens.tc_years)
+    e_idx = np.broadcast_to(np.arange(ens.n_ensemble)[:, None],
+                            ens.tc_years.shape)
+    return (e_idx * ens.year.size + year_pos).ravel(), \
+        ens.n_ensemble * ens.year.size
+
+
+def _bootstrap_rp(v: np.ndarray, blocks: np.ndarray, n_blocks: int,
+                  vmax_bins: np.ndarray, n_boot: int, ci: float,
+                  seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Year-block bootstrap of a return-period curve.
+
+    v: per-event intensity (NaN = no event for that track); blocks: block
+    id per event.  Returns (rp_lo, rp_hi) [n_bins] with inf where a band
+    edge is never exceeded."""
+    ok = np.isfinite(v)
+    v, blocks = v[ok], blocks[ok]
+    # per-block exceedance counts [n_blocks, n_bins]
+    counts = np.zeros((n_blocks, vmax_bins.size))
+    for j, b in enumerate(vmax_bins):
+        np.add.at(counts[:, j], blocks[v >= b], 1.0)
+    rng = np.random.default_rng(seed)
+    draws = rng.integers(0, n_blocks, (n_boot, n_blocks))
+    boot_counts = counts[draws].sum(axis=1)            # [n_boot, n_bins]
+    # quantile the COUNTS and invert (quantiles of a return-period sample
+    # containing inf would interpolate to NaN); high count -> low RP
+    alpha = (1.0 - ci) / 2.0
+    c_hi = np.quantile(boot_counts, 1.0 - alpha, axis=0)
+    c_lo = np.quantile(boot_counts, alpha, axis=0)
+    with np.errstate(divide='ignore'):
+        lo = np.where(c_hi > 0, n_blocks / np.maximum(c_hi, 1e-30), np.inf)
+        hi = np.where(c_lo > 0, n_blocks / np.maximum(c_lo, 1e-30), np.inf)
+    return lo, hi
+
+
+def return_period_ci(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
+                     radius_km: float = 100.0,
+                     vmax_bins: Optional[np.ndarray] = None,
+                     n_boot: int = 1000, ci: float = 0.90, seed: int = 0
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """Point return-period curve with a simulated-year block-bootstrap
+    confidence band (no reference equivalent — the reference notebook
+    itself warns its 5-member estimate is not robust; this quantifies
+    that).  Returns (vmax_bins, rp, rp_lo, rp_hi)."""
+    if vmax_bins is None:
+        vmax_bins = np.arange(10.0, 81.0, 5.0)
+    bins, rp = return_periods(ens, poi_lon, poi_lat, radius_km, vmax_bins)
+    vpoi = max_wind_near_point(ens, poi_lon, poi_lat, radius_km).ravel()
+    blocks, n_blocks = _block_ids(ens)
+    lo, hi = _bootstrap_rp(vpoi, blocks, n_blocks, vmax_bins, n_boot, ci,
+                           seed)
+    return bins, rp, lo, hi
+
+
+def landfall_return_period_ci(ens: TrackEnsemble, land: np.ndarray,
+                              land_lon: np.ndarray, land_lat: np.ndarray,
+                              vmax_bins: Optional[np.ndarray] = None,
+                              region: Optional[Tuple[float, float, float,
+                                                     float]] = None,
+                              n_boot: int = 1000, ci: float = 0.90,
+                              seed: int = 0):
+    """landfall_return_periods with a year-block bootstrap band.
+    Returns (vmax_bins, rp, rp_lo, rp_hi)."""
+    if vmax_bins is None:
+        vmax_bins = np.arange(10.0, 81.0, 5.0)
+    bins, rp = landfall_return_periods(ens, land, land_lon, land_lat,
+                                       vmax_bins, region)
+    lf = landfalls(ens, land, land_lon, land_lat)
+    v = lf['vmax'].ravel().copy()
+    if region is not None:
+        lon0, lon1, lat0, lat1 = region
+        lo_, la_ = lf['lon'].ravel() % 360.0, lf['lat'].ravel()
+        v[~((lo_ >= lon0) & (lo_ <= lon1)
+            & (la_ >= lat0) & (la_ <= lat1))] = np.nan
+    blocks, n_blocks = _block_ids(ens)
+    lo, hi = _bootstrap_rp(v, blocks, n_blocks, vmax_bins, n_boot, ci, seed)
+    return bins, rp, lo, hi
+
+
 def pdi(ens: TrackEnsemble, dt_s: float = 3600.0) -> np.ndarray:
     """Power dissipation index per year: sum of vmax^3 dt over all track
     samples (the interannual-variability metric of the reference's
