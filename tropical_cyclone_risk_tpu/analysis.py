@@ -63,7 +63,14 @@ def open_tracks(paths: Sequence[str]) -> TrackEnsemble:
             if k == 'tc_basins':
                 arr = _decode_str(arr)
             stacks[k].append(arr)
-        year = np.asarray(ds['year'].data)
+        yr = np.asarray(ds['year'].data)
+        if year is not None and not np.array_equal(yr, year):
+            # a glob that caught runs with different year ranges would
+            # silently mis-key every per-year statistic
+            raise ValueError(f'{p}: year axis {yr[[0, -1]]} differs from '
+                             f'earlier members {year[[0, -1]]} — not one '
+                             f'ensemble')
+        year = yr
         basin = [str(x) for x in _decode_str(np.asarray(ds['basin'].data))]
     st = {k: np.stack(v) for k, v in stacks.items()}
     return TrackEnsemble(
@@ -105,6 +112,9 @@ def interannual_frequency(ens: TrackEnsemble, basin_id: str,
         in_basin = ens.tc_basins == basin_id
         n_tracks = np.array([(in_basin & (ens.tc_years == y)).sum()
                              for y in ens.year], float)
+    if not np.all(seeds_per_year > 0):
+        raise ValueError(f'basin {basin_id!r} has years with zero counted '
+                         'seeds in this ensemble — was it simulated?')
     # both numerator and denominator are summed over ensemble members
     gamma = n_tracks / seeds_per_year
     c = obs_tracks_per_year / gamma.mean()
@@ -127,6 +137,16 @@ def max_wind_near_point(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
     return np.where(np.isfinite(m), m, np.nan)
 
 
+def _rp_curve(v: np.ndarray, total_years: int, vmax_bins: np.ndarray
+              ) -> np.ndarray:
+    """Exceedance-count return periods from per-event intensities
+    (NaN = no event; notebook cell 17 semantics)."""
+    counts = np.array([np.nansum(v >= b) for b in vmax_bins], float)
+    with np.errstate(divide='ignore'):
+        return np.where(counts > 0, total_years / np.maximum(counts, 1e-30),
+                        np.inf)
+
+
 def return_periods(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
                    radius_km: float = 100.0,
                    vmax_bins: Optional[np.ndarray] = None
@@ -138,12 +158,8 @@ def return_periods(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
     vpoi = max_wind_near_point(ens, poi_lon, poi_lat, radius_km).ravel()
-    total_years = ens.year.size * ens.n_ensemble
-    counts = np.array([(vpoi >= b).sum() for b in vmax_bins], float)
-    with np.errstate(divide='ignore'):
-        rp = np.where(counts > 0, total_years / np.maximum(counts, 1e-30),
-                      np.inf)
-    return vmax_bins, rp
+    return vmax_bins, _rp_curve(vpoi, ens.year.size * ens.n_ensemble,
+                                vmax_bins)
 
 
 def track_density(ens: TrackEnsemble, res_deg: float = 2.0,
@@ -212,6 +228,23 @@ def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
             'lon': sel(ens.lon), 'lat': sel(ens.lat)}
 
 
+def _landfall_vmax(ens: TrackEnsemble, land: np.ndarray,
+                   land_lon: np.ndarray, land_lat: np.ndarray,
+                   region: Optional[Tuple[float, float, float, float]]
+                   ) -> np.ndarray:
+    """Per-track landfall vmax flattened (NaN = no landfall / outside the
+    optional region box) — the shared event vector of the landfall
+    return-period estimate and its bootstrap band."""
+    lf = landfalls(ens, land, land_lon, land_lat)
+    v = lf['vmax'].ravel().copy()
+    if region is not None:
+        lon0, lon1, lat0, lat1 = region
+        lo, la = lf['lon'].ravel() % 360.0, lf['lat'].ravel()
+        v[~((lo >= lon0) & (lo <= lon1)
+            & (la >= lat0) & (la <= lat1))] = np.nan
+    return v
+
+
 def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
                             land_lon: np.ndarray, land_lat: np.ndarray,
                             vmax_bins: Optional[np.ndarray] = None,
@@ -228,19 +261,9 @@ def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
     """
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
-    lf = landfalls(ens, land, land_lon, land_lat)
-    v = lf['vmax'].ravel()
-    ok = np.isfinite(v)
-    if region is not None:
-        lon0, lon1, lat0, lat1 = region
-        lo, la = lf['lon'].ravel() % 360.0, lf['lat'].ravel()
-        ok &= (lo >= lon0) & (lo <= lon1) & (la >= lat0) & (la <= lat1)
-    total_years = ens.year.size * ens.n_ensemble
-    counts = np.array([(v[ok] >= b).sum() for b in vmax_bins], float)
-    with np.errstate(divide='ignore'):
-        rp = np.where(counts > 0, total_years / np.maximum(counts, 1e-30),
-                      np.inf)
-    return vmax_bins, rp
+    v = _landfall_vmax(ens, land, land_lon, land_lat, region)
+    return vmax_bins, _rp_curve(v, ens.year.size * ens.n_ensemble,
+                                vmax_bins)
 
 
 def _block_ids(ens: TrackEnsemble) -> Tuple[np.ndarray, int]:
@@ -295,12 +318,13 @@ def return_period_ci(ens: TrackEnsemble, poi_lon: float, poi_lat: float,
     that).  Returns (vmax_bins, rp, rp_lo, rp_hi)."""
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
-    bins, rp = return_periods(ens, poi_lon, poi_lat, radius_km, vmax_bins)
+    # one geometry pass feeds BOTH the point estimate and the band
     vpoi = max_wind_near_point(ens, poi_lon, poi_lat, radius_km).ravel()
+    rp = _rp_curve(vpoi, ens.year.size * ens.n_ensemble, vmax_bins)
     blocks, n_blocks = _block_ids(ens)
     lo, hi = _bootstrap_rp(vpoi, blocks, n_blocks, vmax_bins, n_boot, ci,
                            seed)
-    return bins, rp, lo, hi
+    return vmax_bins, rp, lo, hi
 
 
 def landfall_return_period_ci(ens: TrackEnsemble, land: np.ndarray,
@@ -314,18 +338,12 @@ def landfall_return_period_ci(ens: TrackEnsemble, land: np.ndarray,
     Returns (vmax_bins, rp, rp_lo, rp_hi)."""
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
-    bins, rp = landfall_return_periods(ens, land, land_lon, land_lat,
-                                       vmax_bins, region)
-    lf = landfalls(ens, land, land_lon, land_lat)
-    v = lf['vmax'].ravel().copy()
-    if region is not None:
-        lon0, lon1, lat0, lat1 = region
-        lo_, la_ = lf['lon'].ravel() % 360.0, lf['lat'].ravel()
-        v[~((lo_ >= lon0) & (lo_ <= lon1)
-            & (la_ >= lat0) & (la_ <= lat1))] = np.nan
+    # one landfall pass feeds BOTH the point estimate and the band
+    v = _landfall_vmax(ens, land, land_lon, land_lat, region)
+    rp = _rp_curve(v, ens.year.size * ens.n_ensemble, vmax_bins)
     blocks, n_blocks = _block_ids(ens)
     lo, hi = _bootstrap_rp(v, blocks, n_blocks, vmax_bins, n_boot, ci, seed)
-    return bins, rp, lo, hi
+    return vmax_bins, rp, lo, hi
 
 
 def pdi(ens: TrackEnsemble, dt_s: float = 3600.0) -> np.ndarray:

@@ -57,6 +57,11 @@ def main(argv=None) -> int:
 
     cfg = load_namelist_py(args.namelist) if args.namelist else Namelist()
 
+    # validate + case-normalize the basin BEFORE minutes of preprocessing
+    # (runtime would only catch it after)
+    from tropical_cyclone_risk_tpu.utils import basins as basins_mod
+    args.basin = basins_mod.validate_basin_id(cfg, args.basin)
+
     out_dir = '%s/%s' % (cfg.output_directory, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     print('Output directory: %s' % out_dir)

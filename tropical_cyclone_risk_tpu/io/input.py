@@ -211,6 +211,11 @@ def normalize_latlon(lon: np.ndarray, lat: np.ndarray, *arrs,
         arrs = [np.flip(a, axis=lat_axis).copy() for a in arrs]
     lon0360 = np.mod(np.asarray(lon, np.float64), 360.0)
     order = np.argsort(lon0360, kind='stable')
-    if not np.array_equal(order, np.arange(order.size)):
+    # grids carrying both seam endpoints (0 AND 360, or -180 AND 180) map
+    # to a duplicate column under mod — keep the first; the duplicate
+    # would otherwise surface later as an opaque 'grid is not uniform'
+    keep = np.concatenate([[True], np.diff(lon0360[order]) > 1e-9])
+    order = order[keep]
+    if not np.array_equal(order, np.arange(lon0360.size)):
         arrs = [np.take(a, order, axis=lon_axis) for a in arrs]
     return lon0360[order], lat, arrs

@@ -122,9 +122,18 @@ def _read_h5(path: str) -> Dataset:
                 attrs.pop('missing_value', None),
                 attrs.pop('scale_factor', None),
                 attrs.pop('add_offset', None))
-            ds.variables[os.path.basename(name)] = Variable(
-                tuple(dims), data, attrs)
+            base = os.path.basename(name)
+            if base in ds.variables and full_names.get(base) != name:
+                # flattening groups by basename: a silent last-wins
+                # collision would serve the wrong array downstream
+                raise ValueError(
+                    f'{path}: duplicate variable name {base!r} across HDF5 '
+                    f'groups ({full_names[base]!r} vs {name!r}) — grouped '
+                    f'NetCDF4 files are not supported')
+            full_names[base] = name
+            ds.variables[base] = Variable(tuple(dims), data, attrs)
 
+        full_names: Dict[str, str] = {}
         f.visititems(visit)
     return ds
 
@@ -202,6 +211,10 @@ def write(path: str,
     def coerce(arr: np.ndarray) -> np.ndarray:
         # classic NetCDF3 has no 64-bit ints / 16-bit floats
         if arr.dtype == np.int64 or arr.dtype == np.uint32 or arr.dtype == np.uint64:
+            if arr.size and (arr.min() < -2**31 or arr.max() >= 2**31):
+                # int32 would silently wrap (e.g. an epoch-seconds time
+                # axis); float64 is exact to 2**53
+                return arr.astype(np.float64)
             return arr.astype(np.int32)
         if arr.dtype == np.float16:
             return arr.astype(np.float32)
@@ -241,7 +254,10 @@ def write(path: str,
     for name, arr in coords.items():
         note_dims((name,), arr.shape)
 
-    tmp = path + '.tmp'
+    # per-writer tmp name: two processes writing the same destination
+    # (racing ensemble members, double-launched idempotent preprocessing)
+    # must not interleave into one staging file
+    tmp = f'{path}.tmp.{os.getpid()}'
     with netcdf_file(tmp, 'w', version=2) as f:
         for k, v in attrs.items():
             setattr(f, k, v)

@@ -32,13 +32,21 @@ def get_fn_tracks(cfg: Namelist, basin_id: str) -> str:
 
 
 def fn_tracks_duplicates(fn_trk: str) -> str:
-    """Ensemble-member suffixing _eN (util/compute.py:52-58)."""
+    """Ensemble-member suffixing _eN (util/compute.py:52-58).
+
+    The chosen name is CLAIMED atomically (O_CREAT|O_EXCL placeholder,
+    later overwritten by the atomic publish in io.netcdf.write), so
+    concurrently launched ensemble members cannot resolve the same path
+    — the reference's check-then-write race, not replicated."""
     f_int = 0
     fn_out = fn_trk
-    while os.path.exists(fn_out):
-        fn_out = fn_trk[:-3] + '_e%d.nc' % f_int
-        f_int += 1
-    return fn_out
+    while True:
+        try:
+            os.close(os.open(fn_out, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return fn_out
+        except FileExistsError:
+            fn_out = fn_trk[:-3] + '_e%d.nc' % f_int
+            f_int += 1
 
 
 def write_tracks_nc(path: str, out: dict, cfg: Namelist) -> None:
@@ -104,7 +112,9 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
             seed = int(multihost_utils.broadcast_one_to_all(
                 np.int32(seed)))
         key = jax.random.key(seed)
-    years = cfg.years()[:n_years] if n_years else cfg.years()
+    if n_years is not None and n_years < 1:
+        raise ValueError(f'n_years must be >= 1, got {n_years}')
+    years = cfg.years()[:n_years] if n_years is not None else cfg.years()
     if years and cfg.integrate_cap is None:
         # resolve the auto integrate-compaction cap by probing year 0 /
         # batch 0's proposal stream (pipeline.auto_integrate_cap)
@@ -148,14 +158,25 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                  metrics.rate('tracks', 'simulate'))
     out = pipeline.concat_years(results, cfg)
 
-    # ensemble-suffixed name decided BEFORE the primary writes, so every
-    # host returns the same path (shared filesystem assumed)
-    fn = fn_tracks_duplicates(get_fn_tracks(cfg, basin_id))
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        # multi-host: tracks are replicated; only the primary host publishes
-        return fn
-
+    # ensemble-suffixed name claimed atomically by the primary BEFORE it
+    # writes; multi-host runs broadcast the chosen suffix so every host
+    # returns the same path without touching the filesystem themselves
     os.makedirs('%s/%s' % (cfg.output_directory, cfg.exp_name), exist_ok=True)
+    fn_base = get_fn_tracks(cfg, basin_id)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        suffix = np.int32(-2)
+        if jax.process_index() == 0:
+            fn = fn_tracks_duplicates(fn_base)
+            suffix = np.int32(-1 if fn == fn_base else
+                              int(fn[:-3].rsplit('_e', 1)[1]))
+        suffix = int(multihost_utils.broadcast_one_to_all(suffix))
+        fn = fn_base if suffix < 0 else fn_base[:-3] + '_e%d.nc' % suffix
+        if jax.process_index() != 0:
+            # tracks are replicated; only the primary host publishes
+            return fn
+    else:
+        fn = fn_tracks_duplicates(fn_base)
     write_tracks_nc(fn, out, cfg)
     # provenance snapshot (reference copies namelist.py, run.py:12)
     snap = fn[:-3] + '.config.json'
