@@ -86,3 +86,25 @@ def test_missing_value_decoding(tmp_path):
         v.missing_value = np.float32(-9999.0)
     ds = netcdf.read(fn)
     assert np.isnan(ds['t'].data[1]) and ds['t'].data[0] == 280.0
+
+
+def test_write_int64_overflow_falls_back_to_float64(tmp_path):
+    """Classic NetCDF3 has no int64: values beyond int32 must round-trip
+    via float64, not wrap silently."""
+    fn = str(tmp_path / 'big.nc')
+    big = np.array([2**40, -2**35, 7], np.int64)
+    netcdf.write(fn, {'x': (('n',), big)}, coords={'n': np.arange(3.0)})
+    back = np.asarray(netcdf.read(fn)['x'].data)
+    np.testing.assert_array_equal(back.astype(np.int64), big)
+    small = np.array([1, 2, 3], np.int64)
+    netcdf.write(fn, {'x': (('n',), small)}, coords={'n': np.arange(3.0)})
+    assert np.asarray(netcdf.read(fn)['x'].data).dtype.kind == 'i'
+
+
+def test_write_leaves_no_tmp_files(tmp_path):
+    fn = str(tmp_path / 'out.nc')
+    netcdf.write(fn, {'x': (('n',), np.arange(4.0))},
+                 coords={'n': np.arange(4.0)})
+    leftovers = [p for p in os.listdir(tmp_path) if '.tmp' in p]
+    assert leftovers == []
+    assert os.path.exists(fn)
