@@ -63,29 +63,35 @@ INTEGRATE_CAP_BUCKETS = tuple(i / 16.0 for i in range(2, 17))
 
 
 def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
-                       margin: float = 1.15) -> Namelist:
+                       margin: float = 1.08) -> Namelist:
     """Resolve integrate_cap=None by measuring the environment.
 
-    Runs one seeding pass (exactly year 0 / batch 0's proposal stream: the
-    same key splits as launch_body), fetches the integrable fraction, and
-    picks the smallest cap bucket covering it with `margin` headroom.  The
-    fraction is a property of the environment (PI coverage x basin
-    geometry), stable across batches — measured spreads are < 1% absolute
-    — so one probe per run suffices; the uncapped-fallback in
-    run_tracks_year covers any straggler batch.  Costs one extra seeding
-    dispatch (~tens of ms) per run."""
+    Runs one seeding pass on the FIRST and LAST simulated years (batch-0
+    proposal streams; the same key splits as launch_body), takes the max
+    integrable fraction, and picks the smallest cap bucket covering it
+    with `margin` headroom.  The fraction is a property of the environment
+    (PI coverage x basin geometry) — batch-to-batch spreads are < 1%
+    absolute, but it can DRIFT over a multi-decade run (a warming trend
+    raises PI coverage), hence the two-endpoint probe; the
+    uncapped-fallback in run_tracks_year covers any straggler batch.
+    Costs two extra seeding dispatches (~tens of ms) per run."""
     if cfg.integrate_cap is not None:
         return cfg
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
-    pack_y0 = fields_mod.slice_pack_year(pack, cfg, 0)
-    k_seed, _ = jax.random.split(jax.random.fold_in(key, 0))
-    prop = seeding.propose_seeds(k_seed, pack_y0, cfg, basin_id,
-                                 cfg.seed_batch,
-                                 jnp.int32(cfg.start_month - 1))
-    frac = float(np.asarray(prop.integrate.mean(dtype=jnp.float32)))
-    target = min(1.0, frac * margin + 1.0 / 64.0)
+    n_years = max(1, cfg.n_months // 12)
+    fracs = []
+    for yi in sorted({0, n_years - 1}):
+        pack_y = fields_mod.slice_pack_year(pack, cfg, yi)
+        k_seed, _ = jax.random.split(jax.random.fold_in(key, yi))
+        prop = seeding.propose_seeds(k_seed, pack_y, cfg, basin_id,
+                                     cfg.seed_batch,
+                                     jnp.int32(cfg.start_month - 1))
+        fracs.append(float(np.asarray(
+            prop.integrate.mean(dtype=jnp.float32))))
+    target = min(1.0, max(fracs) * margin + 1.0 / 64.0)
     cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
     cfg = cfg.replace(integrate_cap=cap)
+    pack_y0 = fields_mod.slice_pack_year(pack, cfg, 0)
 
     if cfg.recompact_step is None and cfg.recompact_cap is None:
         # pathfinder probe: a small full-length launch measuring the
@@ -103,7 +109,9 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         for T1 in (90, 120, 150, 180, 210, 240):
             if not (49 < T1 < T - 1):
                 continue
-            frac2 = min(1.0, float(curve[T1]) * margin + 1.0 / 64.0)
+            # the alive-decay curve is probed on year 0 only, so keep a
+            # wider margin than the two-endpoint integrate-fraction probe
+            frac2 = min(1.0, float(curve[T1]) * 1.15 + 1.0 / 64.0)
             cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= frac2)
             rows = T1 + cap2 * (T - T1)
             if rows < best[0]:
