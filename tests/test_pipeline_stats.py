@@ -310,3 +310,25 @@ def test_year_slice_out_of_range_months_rejected():
     integ = np.asarray(prop.integrate)
     assert not integ[month > 6].any()
     assert integ[month <= 6].any()
+
+
+def test_auto_cap_covers_climate_drift():
+    """The integrate-fraction probe samples the FIRST and LAST simulated
+    years: a PI-coverage trend (warming) must raise the chosen cap to
+    cover the late-period fraction, not just year 0's."""
+    cfg2 = Namelist(seed_batch=4096).replace(start_year=2016, end_year=2017)
+    pack = synthetic_pack(cfg2, n_planes=24, nlat=91, nlon=180, seed=0)
+    from tropical_cyclone_risk_tpu.models import fields as F
+    env = np.array(pack.env)
+    # year 2: raise vpot everywhere ocean-like, boosting the PI-gate pass
+    # fraction well above year 1's
+    env[12:, ..., F.VPOT] = np.where(env[12:, ..., F.VPOT] > 0.0,
+                                     np.maximum(env[12:, ..., F.VPOT], 80.0),
+                                     env[12:, ..., F.VPOT])
+    pack_hi = pack._replace(env=jnp.asarray(env))
+    key = jax.random.key(3)
+    cap_flat = pipeline.auto_integrate_cap(key, pack, cfg2,
+                                           'GL').integrate_cap
+    cap_drift = pipeline.auto_integrate_cap(key, pack_hi, cfg2,
+                                            'GL').integrate_cap
+    assert cap_drift > cap_flat
