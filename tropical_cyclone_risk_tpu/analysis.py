@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import glob as _glob
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,6 +51,16 @@ def open_tracks(paths: Sequence[str]) -> TrackEnsemble:
     """Load one or more ensemble member files (same shapes required)."""
     if isinstance(paths, str):
         paths = sorted(_glob.glob(paths))
+    # a run that died between the atomic ensemble-name claim and the write
+    # leaves a 0-byte placeholder (runtime.fn_tracks_duplicates) — skip it
+    # with a warning instead of failing the whole ensemble load
+    empty = [p for p in paths if os.path.getsize(p) == 0]
+    if empty:
+        import logging
+        logging.getLogger('tc_risk_tpu').warning(
+            'skipping %d zero-byte track file(s) (crashed-run name claims; '
+            'delete to reuse the ensemble slot): %s', len(empty), empty)
+        paths = [p for p in paths if p not in set(empty)]
     if not paths:
         raise FileNotFoundError('no track files given')
     stacks: Dict[str, List[np.ndarray]] = {k: [] for k in (

@@ -146,8 +146,10 @@ class Namelist:
     # compacts the still-alive storms (slot-stably) to recompact_cap x the
     # integration width and finishes the scan narrow — storms die along
     # the track (basin exit / |lat|<=2 / v<=4), so the tail of the scan
-    # wastes most of its gather rows on frozen corpses.  Bit-identical
-    # outputs (frozen-state segments compose exactly; pinned by test).
+    # wastes most of its gather rows on frozen corpses.  Trajectories and
+    # keep verdicts are exact (frozen-state segments compose exactly); the
+    # vmax diagnostic is pinned to float32 ULP/fusion noise (atol 1e-4,
+    # tests/test_pipeline_stats.py::test_recompaction_identical).
     # None disables; auto-tuned together with integrate_cap from a small
     # pathfinder probe of the alive-decay curve when integrate_cap is None
     # (pipeline.auto_integrate_cap).  Overflow (more survivors at the

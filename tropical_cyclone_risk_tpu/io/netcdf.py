@@ -147,21 +147,65 @@ def _read_classic(path: str) -> Dataset:
     # slurp the file sequentially and parse from memory: scipy's buffered
     # per-variable reads run at single-digit MB/s on a cold page cache
     # (latency-bound small reads), and even one giant read() crawls at
-    # ~26 MB/s on this image's virtio disk — 4 MB chunks with
-    # POSIX_FADV_SEQUENTIAL stream at ~125-190 MB/s (measured)
-    chunks = []
+    # ~26 MB/s on this image's virtio disk — 4 MB chunked readinto with
+    # POSIX_FADV_SEQUENTIAL streams at ~125-190 MB/s (measured).  The
+    # buffer is preallocated at fstat size and filled in place so peak RSS
+    # is one file copy, not two (a chunks-list + join transiently doubled
+    # it, which with the winds prefetch thread's second resident pair
+    # risked OOM on large wind workspaces).
     with open(path, 'rb') as fraw:
         try:
             os.posix_fadvise(fraw.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)
         except (AttributeError, OSError):
             pass
-        while True:
-            c = fraw.read(1 << 22)
-            if not c:
+        size = os.fstat(fraw.fileno()).st_size
+        data = bytearray(size)
+        view = memoryview(data)
+        pos = 0
+        while pos < size:
+            got = fraw.readinto(view[pos:pos + (1 << 22)])
+            if not got:
                 break
-            chunks.append(c)
-    buf = _io.BytesIO(b''.join(chunks))
-    del chunks
+            pos += got
+        tail = fraw.read()          # in case the file grew after fstat
+        if tail:
+            data += tail
+        elif pos < size:
+            del view
+            data = data[:pos]       # file shrank: parse what was read
+    view = None
+
+    class _MemReader(_io.RawIOBase):
+        """Read-only seekable view over the bytearray — BytesIO(data)
+        would copy the whole buffer, transiently doubling RSS again."""
+
+        def __init__(self, mv):
+            self._mv = memoryview(mv)
+            self._pos = 0
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return True
+
+        def seek(self, off, whence=0):
+            base = (0, self._pos, len(self._mv))[whence]
+            self._pos = max(0, base + off)
+            return self._pos
+
+        def tell(self):
+            return self._pos
+
+        def readinto(self, b):
+            n = min(len(b), len(self._mv) - self._pos)
+            if n <= 0:
+                return 0
+            b[:n] = self._mv[self._pos:self._pos + n]
+            self._pos += n
+            return n
+
+    buf = _MemReader(data)
     with netcdf_file(buf, 'r', mmap=False) as f:
         ds.attrs = {k: _decode_attr(v) for k, v in f._attributes.items()}
         for name, var in f.variables.items():

@@ -43,6 +43,9 @@ class YearTracks:
     month: np.ndarray        # [n_tracks]
     basin_idx: np.ndarray    # [n_tracks] index into basin_ids_sorted()
     n_seeds: np.ndarray      # [n_basins, 12]
+    n_dropped: int = 0       # slots whose every seeding retry round missed
+                             # the ocean mask (seeding.N_RETRY_ROUNDS)
+    n_proposed: int = 0      # total proposal slots drawn (drop-rate denom)
 
 
 def launch_width(cfg: Namelist, n: int) -> int:
@@ -105,9 +108,16 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
             n_p))
         curve = counts / float(launch_width(cfg, n_p))
         T = cfg.n_steps_output
+        steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
         best = (0.95 * T, None, None)          # only split if >=5% saved
-        for T1 in (90, 120, 150, 180, 210, 240):
-            if not (49 < T1 < T - 1):
+        # T1 candidates as fractions of the scan length, clamped above the
+        # 2-day filter window (for the default 361-step hourly scan these
+        # are exactly 90/120/150/180/210/240; any output_interval_s scales
+        # them so the tuned split can never be rejected by _seg_active)
+        cands = sorted({int(f * T) for f in
+                        (0.25, 1 / 3, 5 / 12, 0.5, 7 / 12, 2 / 3)})
+        for T1 in cands:
+            if not (steps_2d < T1 < T - 1):
                 continue
             # the alive-decay curve is probed on year 0 only, so keep a
             # wider margin than the two-endpoint integrate-fraction probe
@@ -118,6 +128,16 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
                 best = (rows, T1, cap2)
         if best[1] is not None and best[2] < 1.0:
             cfg = cfg.replace(recompact_step=best[1], recompact_cap=best[2])
+            if not _seg_active(cfg, launch_width(cfg, cfg.seed_batch)):
+                # possible when 256-lane rounding makes the recompacted
+                # width equal the full width at this batch size — the tuned
+                # pair is inert, which is harmless but worth surfacing
+                import logging
+                logging.getLogger('tc_risk_tpu').info(
+                    'tuned recompaction (step=%s cap=%s) is inert at '
+                    'seed_batch=%d (width rounding); launches stay '
+                    'single-segment', cfg.recompact_step,
+                    cfg.recompact_cap, cfg.seed_batch)
     return cfg
 
 
@@ -275,7 +295,8 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                  jnp.zeros((n,), bool).at[order].set(keep))
     body = {
         'seed': {'keep': keep_full, 'counted': prop.counted,
-                 'month': prop.month, 'basin_idx': prop.basin_idx},
+                 'month': prop.month, 'basin_idx': prop.basin_idx,
+                 'dropped': prop.dropped},
         'trk': {'keep': keep, 'month': g(prop.month),
                 'basin_idx': g(prop.basin_idx)},
         'tm': tm,
@@ -334,6 +355,7 @@ def compact_survivors(body: dict, m: int, k_max: int,
             'counted': constrain(seed['counted']),
             'basin_idx': constrain(seed['basin_idx']),
             'month': constrain(seed['month']),
+            'dropped': constrain(seed['dropped']),
             'overflow': constrain(body['overflow'])}
     return tracks, meta
 
@@ -352,9 +374,13 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
 
 @jax.jit
 def _batch_scalars(meta):
-    """(survivor count, integrate-cap overflow) as one tiny fetch."""
-    return jnp.stack([meta['keep'].sum(dtype=jnp.int32),
-                      meta['overflow'].sum(dtype=jnp.int32)])
+    """(survivors, integrate-cap overflow, recompact overflow, dropped
+    slots) as one tiny fetch.  The overflow vector concatenates
+    [integrate-cap, recompact] entries per device shard — even/odd
+    positions respectively (launch_body)."""
+    over = meta['overflow'].reshape(-1, 2).sum(axis=0, dtype=jnp.int32)
+    return jnp.stack([meta['keep'].sum(dtype=jnp.int32), over[0], over[1],
+                      meta['dropped'].sum(dtype=jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=('n_basins',))
@@ -405,19 +431,52 @@ def prefetch_year_batch0(key: jax.Array, pack: FieldPack, cfg: Namelist,
                            jnp.int32(cfg.start_month - 1), mesh)
 
 
+def bump_caps(cfg: Namelist, n_over1: int, n_over2: int, n: int,
+              margin: float = 1.08) -> Namelist:
+    """Re-tune the compaction caps after an overflow: pick the smallest cap
+    bucket covering the overflowed batch's MEASURED demand with the same
+    headroom auto_integrate_cap uses.  A drifting environment (e.g. a
+    warming trend raising PI coverage beyond the two-endpoint probe's
+    bracket) then costs exactly one uncapped fallback launch before
+    subsequent batches run compacted again at the wider cap."""
+    m = launch_width(cfg, n)
+    if n_over1 > 0:
+        frac = (m + n_over1) / n
+        target = min(1.0, frac * margin + 1.0 / 64.0)
+        cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
+        cfg = cfg.replace(integrate_cap=cap)
+        m = launch_width(cfg, n)
+    if n_over2 > 0 and cfg.recompact_cap is not None:
+        m2 = recompact_width(cfg, m)
+        frac2 = (m2 + n_over2) / m
+        target2 = min(1.0, frac2 * margin + 1.0 / 64.0)
+        cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target2)
+        if cap2 >= 1.0:
+            cfg = cfg.replace(recompact_step=None, recompact_cap=None)
+        else:
+            cfg = cfg.replace(recompact_cap=cap2)
+    return cfg
+
+
 def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                     basin_id: str, year_idx: int,
                     n_tracks: Optional[int] = None,
                     max_batches: int = 200, mesh=None,
-                    first_batch=None) -> YearTracks:
+                    first_batch=None, adapt: Optional[dict] = None
+                    ) -> YearTracks:
     """Generate the year's track quota (reference run_tracks,
     util/compute.py:64-210).
 
     mesh: optional jax.sharding.Mesh — shards each seed batch over the
     device mesh (parallel.sharding) instead of one-device launches.
     first_batch: optional already-dispatched batch 0 (prefetch_year_batch0
-    with the same key/config)."""
+    with the same key/config).
+    adapt: optional mutable {'cfg': Namelist} shared across years by the
+    caller — cap-overflow re-tuning (bump_caps) is written back here so
+    later years start from the adapted caps instead of overflowing again."""
     n_tracks = n_tracks or cfg.tracks_per_year
+    if adapt is not None:
+        cfg = adapt.get('cfg', cfg)
     n_basins = len(cfg.basin_ids_sorted())
     N = cfg.seed_batch
     k_max = min(n_tracks, launch_width(cfg, N))
@@ -434,6 +493,8 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     # the quota-filling batch is truncated at the final survivor's slot on
     # device (_count_seeds_upto) — the reference's stopping rule
     n_seeds = np.zeros((n_basins, 12))
+    n_dropped = 0
+    n_proposed = 0
     got = 0
     for b_i in range(max_batches):
         if b_i == 0 and first_batch is not None:
@@ -442,17 +503,21 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
                 k_max, plane_off, mesh)
-        n_new, n_over = (int(x) for x in np.asarray(_batch_scalars(meta)))
-        if n_over > 0:
+        n_new, n_over1, n_over2, n_drop = (
+            int(x) for x in np.asarray(_batch_scalars(meta)))
+        n_proposed += N
+        n_dropped += n_drop
+        if n_over1 + n_over2 > 0:
             # more integrable (or boundary-alive) seeds than a compaction
             # cap: redo this batch uncapped (same key -> identical
-            # proposals, so nothing is clipped).  Rare; costs one extra
-            # compile the first time.
+            # proposals, so nothing is clipped), then RE-TUNE the cap so
+            # subsequent batches run compacted again instead of repeating
+            # the fallback (a drifting environment overflows persistently)
             import logging
             logging.getLogger('tc_risk_tpu').warning(
-                'compaction cap overflowed by %d seeds (batch %d, '
+                'compaction cap overflowed by %d/%d seeds (batch %d, '
                 'integrate_cap=%s recompact_cap=%s); falling back to an '
-                'uncapped launch', n_over, b_i, cfg.integrate_cap,
+                'uncapped launch', n_over1, n_over2, b_i, cfg.integrate_cap,
                 cfg.recompact_cap)
             cfg_full = cfg.replace(integrate_cap=1.0, recompact_step=None,
                                    recompact_cap=None)
@@ -460,6 +525,14 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)
             n_new = int(np.asarray(_batch_scalars(meta))[0])
+            cfg = bump_caps(cfg, n_over1, n_over2, N)
+            k_max = min(n_tracks, launch_width(cfg, N))
+            if adapt is not None:
+                adapt['cfg'] = cfg
+            logging.getLogger('tc_risk_tpu').warning(
+                'caps re-tuned: integrate_cap=%s recompact_cap=%s '
+                '(recompact_step=%s)', cfg.integrate_cap,
+                cfg.recompact_cap, cfg.recompact_step)
         # cap at k_max: a sharded launch can keep more survivors than the
         # k_max materialized track rows (per-shard width rounding); the
         # extras are simply not accepted this batch and the loop draws
@@ -494,7 +567,8 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     cat = lambda k: np.concatenate([r[k] for r in rows], axis=0)[:n_tracks]
     return YearTracks(lon=cat('lon'), lat=cat('lat'), v=cat('v'), m=cat('m'),
                       vmax=cat('vmax'), wnds=cat('wnds'), month=cat('month'),
-                      basin_idx=cat('basin_idx'), n_seeds=n_seeds)
+                      basin_idx=cat('basin_idx'), n_seeds=n_seeds,
+                      n_dropped=n_dropped, n_proposed=n_proposed)
 
 
 def concat_years(years: List[YearTracks], cfg: Namelist):

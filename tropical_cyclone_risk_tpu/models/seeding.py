@@ -49,6 +49,11 @@ class SeedProposal(NamedTuple):
     basin_idx: jnp.ndarray    # [N] int32 into basin_ids_sorted()
     counted: jnp.ndarray      # [N] bool: contributes to seeds_per_month
     integrate: jnp.ndarray    # [N] bool: passes the PI gate
+    dropped: jnp.ndarray      # [N] bool: every proposal round missed the
+                              # ocean mask (uniform thinning; see
+                              # N_RETRY_ROUNDS) — exported so production
+                              # runs can OBSERVE the drop rate instead of
+                              # trusting the synthetic-env measurement
     v_init: jnp.ndarray       # [N]
     m_init: jnp.ndarray       # [N]
     h_bl: jnp.ndarray         # [N]
@@ -131,7 +136,7 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
 
     return SeedProposal(lon.astype(jnp.float32), lat.astype(jnp.float32),
                         month.astype(jnp.int32), basin_idx, counted,
-                        integrate, v_init.astype(jnp.float32),
+                        integrate, ~any_pass, v_init.astype(jnp.float32),
                         m_init.astype(jnp.float32), h_bl,
                         plane.astype(jnp.int32))
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.io import netcdf
-from tropical_cyclone_risk_tpu.models import pipeline
+from tropical_cyclone_risk_tpu.models import pipeline, seeding
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
 from tropical_cyclone_risk_tpu.utils import basins as basins_mod
 from tropical_cyclone_risk_tpu.utils import obs
@@ -37,7 +37,12 @@ def fn_tracks_duplicates(fn_trk: str) -> str:
     The chosen name is CLAIMED atomically (O_CREAT|O_EXCL placeholder,
     later overwritten by the atomic publish in io.netcdf.write), so
     concurrently launched ensemble members cannot resolve the same path
-    — the reference's check-then-write race, not replicated."""
+    — the reference's check-then-write race, not replicated.
+
+    A run that dies between the claim and the publish leaves a 0-byte
+    placeholder: later runs move on to the next _eN suffix (correct — the
+    slot is indeterminate), and analysis.open_tracks skips and reports
+    zero-byte members; delete the placeholder to reclaim the slot."""
     f_int = 0
     fn_out = fn_trk
     while True:
@@ -131,6 +136,7 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
         # keep one launch in flight across year boundaries: year y+1's
         # first batch is enqueued before year y's results are drained, so
         # the device never idles on the host round-trip between years
+        adapt = {'cfg': cfg}     # cap-overflow re-tuning persists across years
         pending = pipeline.prefetch_year_batch0(
             jax.random.fold_in(key, years[0]), pack, cfg, basin_id, 0,
             mesh=mesh) if years else None
@@ -138,17 +144,19 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
             ykey = jax.random.fold_in(key, year)
             if yi + 1 < len(years):
                 nxt = pipeline.prefetch_year_batch0(
-                    jax.random.fold_in(key, years[yi + 1]), pack, cfg,
-                    basin_id, yi + 1, mesh=mesh)
+                    jax.random.fold_in(key, years[yi + 1]), pack,
+                    adapt['cfg'], basin_id, yi + 1, mesh=mesh)
             else:
                 nxt = None
             with obs.phase(f'year {year}', metrics):
                 results.append(pipeline.run_tracks_year(
                     ykey, pack, cfg, basin_id, yi, mesh=mesh,
-                    first_batch=pending))
+                    first_batch=pending, adapt=adapt))
             pending = nxt
             metrics.count('tracks', results[-1].lon.shape[0])
             metrics.count('seeds', float(results[-1].n_seeds.sum()))
+            metrics.count('seeds_dropped', results[-1].n_dropped)
+            metrics.count('seeds_proposed', results[-1].n_proposed)
             metrics.time('simulate', metrics.timings.pop(f'year {year}'))
             obs.log.info('year %d: %d tracks, %d seeds, %.1f s elapsed',
                          year, results[-1].lon.shape[0],
@@ -156,6 +164,18 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
     obs.log.info('throughput: %.0f seeds/s, %.2f tracks/s',
                  metrics.rate('seeds', 'simulate'),
                  metrics.rate('tracks', 'simulate'))
+    n_prop = metrics.counters.get('seeds_proposed', 0.0)
+    n_drop = metrics.counters.get('seeds_dropped', 0.0)
+    if n_prop and n_drop / n_prop > 1e-3:
+        # all N_RETRY_ROUNDS proposal rounds missed the ocean mask for >0.1%
+        # of slots: the basin's ocean fraction is far below the regime the
+        # retry count was tuned on (seeding.N_RETRY_ROUNDS).  Thinning is
+        # still statistically neutral, but the effective seed stream shrinks.
+        obs.log.warning(
+            'seeding drop rate %.2e (%d of %d slots exhausted all %d retry '
+            'rounds) — consider raising seeding.N_RETRY_ROUNDS for this '
+            'basin geometry', n_drop / n_prop, int(n_drop), int(n_prop),
+            seeding.N_RETRY_ROUNDS)
     out = pipeline.concat_years(results, cfg)
 
     # ensemble-suffixed name claimed atomically by the primary BEFORE it
