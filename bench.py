@@ -6,6 +6,25 @@ compaction) on an ERA5-resolution (1-degree, 12-month) global environment —
 the hot path of the reference's run_downscaling (util/compute.py:64-210),
 which integrates one storm at a time with scipy.solve_ivp.
 
+What each emitted number counts (round-3 clarification):
+
+- storm_lifecycles_per_min_per_chip (headline, the BENCH metric): PROPOSED
+  SEEDS processed per minute.  One seed = one iteration of the reference's
+  rejection loop (util/compute.py:134-210) — proposal, all seeding gates,
+  and, for gate-passing seeds, the full 361-step integration + TC filters.
+  Integrate-compaction means only gate-passing slots physically enter the
+  scan; outputs are bit-identical to integrating every slot (pinned by
+  tests), so a proposed seed is a completed unit of model work either way.
+- detail.scan_rows_per_min: slot-steps actually integrated per minute
+  (launch scan width x steps, summed over segments) — the raw integration
+  throughput with no seeding-gate amplification.
+- detail.surviving_tcs_per_min: storms passing every TC filter per minute
+  (the survivors written to the output NetCDF).
+- detail.sim_years_per_min: production steady state — simulated years per
+  minute through run_tracks_year (quota fill, seed accounting, stopping
+  rule, host fetch of survivor tracks), the end-to-end rate a real run
+  sustains.
+
 Prints ONE JSON line.  vs_baseline is measured against the driver-set north
 star of 100k storm lifecycles/min/chip (BASELINE.json; the reference itself
 publishes no numbers — BASELINE.md)."""
@@ -27,6 +46,17 @@ from tropical_cyclone_risk_tpu.models import pipeline
 from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
 
 NORTH_STAR_PER_MIN = 100_000.0
+
+
+def scan_rows_per_launch(cfg: Namelist, n: int) -> int:
+    """Slot-steps the integration scan actually executes per launch."""
+    m = pipeline.launch_width(cfg, n)
+    T = cfg.n_steps_output
+    if pipeline._seg_active(cfg, m):
+        T1 = int(cfg.recompact_step)
+        m2 = pipeline.recompact_width(cfg, m)
+        return m * T1 + m2 * (T - T1)
+    return m * T
 
 
 def main():
@@ -62,10 +92,32 @@ def main():
             inflight.append(launch(jax.random.key(i + 2), pack, cfg, 'GL',
                                    n_seeds, k_max, jnp.int32(0)))
         tracks, meta = inflight.pop(0)
-        survivors = int(np.asarray(meta['keep']).sum())
+        survivors += int(np.asarray(meta['keep']).sum())
     dt = time.perf_counter() - t0
 
     per_min = n_seeds * n_iter / dt * 60.0
+    rows_min = scan_rows_per_launch(cfg, n_seeds) * n_iter / dt * 60.0
+    tcs_min = survivors / dt * 60.0
+
+    # production steady state: simulated years/min through run_tracks_year
+    # (quota fill + seed accounting + stopping rule + survivor fetch),
+    # pipelined across year boundaries like runtime.run_downscaling
+    ykey = jax.random.key(100)
+    pipeline.run_tracks_year(jax.random.fold_in(ykey, -1), pack, cfg,
+                             'GL', 0)                      # warm compiles
+    n_years = 8
+    pending = pipeline.prefetch_year_batch0(
+        jax.random.fold_in(ykey, 0), pack, cfg, 'GL', 0)
+    t1 = time.perf_counter()
+    for yi in range(n_years):
+        nxt = (pipeline.prefetch_year_batch0(
+            jax.random.fold_in(ykey, yi + 1), pack, cfg, 'GL', 0)
+            if yi + 1 < n_years else None)
+        pipeline.run_tracks_year(jax.random.fold_in(ykey, yi), pack, cfg,
+                                 'GL', 0, first_batch=pending)
+        pending = nxt
+    dt_years = time.perf_counter() - t1
+
     dev = jax.devices()[0]
     print(json.dumps({
         'metric': 'storm_lifecycles_per_min_per_chip',
@@ -76,7 +128,17 @@ def main():
             'n_seeds_per_launch': n_seeds,
             'n_steps': cfg.n_steps_output,
             'launch_seconds': round(dt / n_iter, 4),
-            'survivors_last_launch': survivors,
+            'scan_rows_per_min': round(rows_min, 1),
+            'surviving_tcs_per_min': round(tcs_min, 1),
+            'sim_years_per_min': round(n_years / dt_years * 60.0, 2),
+            'seconds_per_sim_year': round(dt_years / n_years, 4),
+            'survivors_per_launch': round(survivors / n_iter, 1),
+            'integrate_cap': cfg.integrate_cap,
+            'recompact': [cfg.recompact_step, cfg.recompact_cap],
+            'units_note': ('storms/min counts proposed seeds (reference '
+                           'rejection-loop iterations, bit-identical '
+                           'outputs to integrating all slots); see '
+                           'docs/performance.md'),
             'device': str(dev),
             'platform': dev.platform,
         },

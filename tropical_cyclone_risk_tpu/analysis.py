@@ -203,50 +203,103 @@ def lmi_distribution(ens: TrackEnsemble, bins: Optional[np.ndarray] = None
     return 0.5 * (edges[:-1] + edges[1:]), h
 
 
+def _on_land_at(land, land_lon, land_lat, lon, lat, valid) -> np.ndarray:
+    """Nearest-gridpoint land test at arbitrary positions (False where
+    invalid)."""
+    ii = np.clip(np.round((lat - land_lat[0])
+                          / (land_lat[1] - land_lat[0])), 0,
+                 land_lat.size - 1)
+    dlon = land_lon[1] - land_lon[0]
+    jj = np.round((lon % 360.0 - land_lon[0]) / dlon)
+    if abs(land_lon.size * dlon - 360.0) < 1e-6:
+        jj = jj % land_lon.size          # global grid: wrap the 0/360 seam
+    else:
+        jj = np.clip(jj, 0, land_lon.size - 1)
+    out = np.zeros(lon.shape, bool)
+    out[valid] = land[ii[valid].astype(int), jj[valid].astype(int)] >= 0.5
+    return out
+
+
 def landfalls(ens: TrackEnsemble, land: np.ndarray, land_lon: np.ndarray,
-              land_lat: np.ndarray) -> Dict[str, np.ndarray]:
+              land_lat: np.ndarray, substeps: int = 1
+              ) -> Dict[str, np.ndarray]:
     """Landfall statistics per track against a land mask [lat, lon]
     (ascending 0-360 axes, e.g. preprocess.static.load_land output).
+
+    Detection is nearest-gridpoint at the track's output samples.  At the
+    default ``substeps=1`` a storm that crosses a sub-grid island — or
+    enters and re-exits a coastline between two output samples (< 1 h at
+    the default interval) — records no landfall.  ``substeps=S`` closes
+    that gap by testing S linearly interpolated positions per segment
+    (segment-crossing detection): 'index' is then the output sample at or
+    after the crossing and 'lon'/'lat'/'vmax' are interpolated at the first
+    on-land subsample.  S=4 at hourly output resolves any feature a storm
+    takes >= 15 min to cross; the mask's own resolution (0.25 deg for the
+    bundled masks) remains the floor on which islands exist at all.
 
     Returns dict with 'index' [E, n_trk] (first sample over land after
     being over ocean; -1 = no landfall), 'vmax' (vmax at that sample) and
     'lon'/'lat' (landfall position) — the inputs of landfall return-period
     curves (BASELINE.json config 5; the reference computes these ad hoc in
     analysis, no library equivalent exists there)."""
-    ii = np.clip(np.round((ens.lat - land_lat[0])
-                          / (land_lat[1] - land_lat[0])), 0,
-                 land_lat.size - 1)
-    dlon = land_lon[1] - land_lon[0]
-    jj = np.round((ens.lon % 360.0 - land_lon[0]) / dlon)
-    if abs(land_lon.size * dlon - 360.0) < 1e-6:
-        jj = jj % land_lon.size          # global grid: wrap the 0/360 seam
-    else:
-        jj = np.clip(jj, 0, land_lon.size - 1)
     valid = np.isfinite(ens.lon) & np.isfinite(ens.lat)
-    on_land = np.zeros(ens.lon.shape, bool)
-    on_land[valid] = land[ii[valid].astype(int), jj[valid].astype(int)] >= 0.5
-    # first ocean->land transition
-    was_ocean = valid & ~on_land
-    prev_ocean = np.concatenate([np.zeros_like(was_ocean[..., :1]),
-                                 was_ocean[..., :-1]], axis=-1)
-    lf = on_land & prev_ocean
-    any_lf = lf.any(axis=-1)
-    idx = np.where(any_lf, lf.argmax(axis=-1), -1)
-    take = np.take_along_axis
-    sel = lambda a: np.where(any_lf, take(a, np.maximum(idx, 0)[..., None],
-                                          axis=-1)[..., 0], np.nan)
-    return {'index': idx, 'vmax': sel(ens.vmax),
-            'lon': sel(ens.lon), 'lat': sel(ens.lat)}
+    if substeps <= 1:
+        on_land = _on_land_at(land, land_lon, land_lat, ens.lon, ens.lat,
+                              valid)
+        # first ocean->land transition
+        was_ocean = valid & ~on_land
+        prev_ocean = np.concatenate([np.zeros_like(was_ocean[..., :1]),
+                                     was_ocean[..., :-1]], axis=-1)
+        lf = on_land & prev_ocean
+        any_lf = lf.any(axis=-1)
+        idx = np.where(any_lf, lf.argmax(axis=-1), -1)
+        take = np.take_along_axis
+        sel = lambda a: np.where(any_lf,
+                                 take(a, np.maximum(idx, 0)[..., None],
+                                      axis=-1)[..., 0], np.nan)
+        return {'index': idx, 'vmax': sel(ens.vmax),
+                'lon': sel(ens.lon), 'lat': sel(ens.lat)}
+
+    # sub-stepped segment-crossing detection: loop over time (memory-lean —
+    # the full [E, n, T, S] subsample tensor would not fit large ensembles)
+    T = ens.lon.shape[-1]
+    shape = ens.lon.shape[:-1]
+    found = np.zeros(shape, bool)
+    idx = np.full(shape, -1, np.int64)
+    lf_lon = np.full(shape, np.nan)
+    lf_lat = np.full(shape, np.nan)
+    lf_vmax = np.full(shape, np.nan)
+    ocean_prev = valid[..., 0] & ~_on_land_at(
+        land, land_lon, land_lat, ens.lon[..., 0], ens.lat[..., 0],
+        valid[..., 0])
+    for t in range(T - 1):
+        seg_ok = valid[..., t] & valid[..., t + 1]
+        for s in range(1, substeps + 1):
+            f = s / substeps
+            lo = ens.lon[..., t] * (1 - f) + ens.lon[..., t + 1] * f
+            la = ens.lat[..., t] * (1 - f) + ens.lat[..., t + 1] * f
+            onl = _on_land_at(land, land_lon, land_lat, lo, la, seg_ok)
+            new = ~found & ocean_prev & onl
+            if new.any():
+                idx[new] = t + 1
+                lf_lon[new] = lo[new]
+                lf_lat[new] = la[new]
+                vx = (ens.vmax[..., t] * (1 - f)
+                      + ens.vmax[..., t + 1] * f)
+                lf_vmax[new] = vx[new]
+                found |= new
+            ocean_prev = seg_ok & ~onl
+    return {'index': idx, 'vmax': lf_vmax, 'lon': lf_lon, 'lat': lf_lat}
 
 
 def _landfall_vmax(ens: TrackEnsemble, land: np.ndarray,
                    land_lon: np.ndarray, land_lat: np.ndarray,
-                   region: Optional[Tuple[float, float, float, float]]
-                   ) -> np.ndarray:
+                   region: Optional[Tuple[float, float, float, float]],
+                   substeps: int = 1) -> np.ndarray:
     """Per-track landfall vmax flattened (NaN = no landfall / outside the
     optional region box) — the shared event vector of the landfall
     return-period estimate and its bootstrap band."""
-    lf = landfalls(ens, land, land_lon, land_lat)
+    lf = landfalls(ens, land, land_lon, land_lat, substeps=substeps)
     v = lf['vmax'].ravel().copy()
     if region is not None:
         lon0, lon1, lat0, lat1 = region
@@ -260,7 +313,8 @@ def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
                             land_lon: np.ndarray, land_lat: np.ndarray,
                             vmax_bins: Optional[np.ndarray] = None,
                             region: Optional[Tuple[float, float, float,
-                                                   float]] = None
+                                                   float]] = None,
+                            substeps: int = 1
                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Return periods of landfall intensity (BASELINE.json config 5;
     reference notebook cells 16-17 semantics — simulated-year counting —
@@ -272,7 +326,7 @@ def landfall_return_periods(ens: TrackEnsemble, land: np.ndarray,
     """
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
-    v = _landfall_vmax(ens, land, land_lon, land_lat, region)
+    v = _landfall_vmax(ens, land, land_lon, land_lat, region, substeps)
     return vmax_bins, _rp_curve(v, ens.year.size * ens.n_ensemble,
                                 vmax_bins)
 
@@ -344,13 +398,13 @@ def landfall_return_period_ci(ens: TrackEnsemble, land: np.ndarray,
                               region: Optional[Tuple[float, float, float,
                                                      float]] = None,
                               n_boot: int = 1000, ci: float = 0.90,
-                              seed: int = 0):
+                              seed: int = 0, substeps: int = 1):
     """landfall_return_periods with a year-block bootstrap band.
     Returns (vmax_bins, rp, rp_lo, rp_hi)."""
     if vmax_bins is None:
         vmax_bins = np.arange(10.0, 81.0, 5.0)
     # one landfall pass feeds BOTH the point estimate and the band
-    v = _landfall_vmax(ens, land, land_lon, land_lat, region)
+    v = _landfall_vmax(ens, land, land_lon, land_lat, region, substeps)
     rp = _rp_curve(v, ens.year.size * ens.n_ensemble, vmax_bins)
     blocks, n_blocks = _block_ids(ens)
     lo, hi = _bootstrap_rp(v, blocks, n_blocks, vmax_bins, n_boot, ci, seed)

@@ -154,18 +154,62 @@ class MonthlyVar:
 
     def load_range(self, t0: datetime.datetime, t1: datetime.datetime):
         """Concatenate [time, ...] data within [t0, t1].  Returns
-        (times [T], data [T, ...], dataset-of-last-file for axis metadata)."""
+        (times [T], data [T, ...], dataset-of-last-file for axis metadata).
+
+        Silent-wrongness guards (SURVEY.md section 7's "where silent
+        wrongness lives"; fuzz-tested in tests/test_reader_fuzz.py):
+        scrambled dimension order (time not leading) raises instead of
+        slicing a spatial axis; non-time coordinate axes must match across
+        the file set (catches mixed hPa/Pa level axes and mixed lon
+        conventions, which would otherwise concatenate into one silently
+        inconsistent stack); an all-fill selection raises instead of
+        flowing NaNs into preprocessing."""
         datas, times = [], []
         last = None
+        ref_coords = None
+        ref_fn = None
         t0_64 = np.datetime64(t0, 's')
         t1_64 = np.datetime64(t1, 's')
         for fn in self.files:
             ds = netcdf.read(fn)
             t = times_of(ds)
+            v = ds[self.key]
+            if v.dims and len(v.dims) > 1 and v.dims[0] != 'time':
+                raise ValueError(
+                    f'{fn}: variable {self.key!r} has dims {v.dims} — the '
+                    f'time axis must lead; transpose the file or fix its '
+                    f'dimension metadata')
+            if np.asarray(v.data).shape[:1] != t.shape:
+                raise ValueError(
+                    f'{fn}: variable {self.key!r} first-axis length '
+                    f'{np.asarray(v.data).shape[:1]} does not match the '
+                    f'time axis {t.shape} — corrupted or mislabeled file')
+            coords = {d: np.asarray(ds[d].data, np.float64)
+                      for d in v.dims[1:] if d in ds}
+            if ref_coords is None:
+                ref_coords, ref_fn = coords, fn
+            else:
+                for d, ax in coords.items():
+                    ref = ref_coords.get(d)
+                    if ref is not None and (ref.shape != ax.shape or
+                                            not np.allclose(ref, ax)):
+                        raise ValueError(
+                            f'{fn}: coordinate {d!r} differs from '
+                            f'{ref_fn} (e.g. {ax.ravel()[:3]} vs '
+                            f'{ref.ravel()[:3]}) — mixed units, level '
+                            f'order, or lon conventions in one file set; '
+                            f'normalize the inputs before ingestion')
             sel = (t >= t0_64) & (t <= t1_64)
             if not sel.any():
                 continue
-            datas.append(np.asarray(ds[self.key].data)[sel])
+            block = np.asarray(v.data)[sel]
+            if block.dtype.kind == 'f' and block.size and \
+                    not np.isfinite(block).any():
+                raise ValueError(
+                    f'{fn}: variable {self.key!r} is entirely fill/NaN in '
+                    f'[{t0}, {t1}] — wrong _FillValue/missing_value '
+                    f'sentinel or a corrupted file')
+            datas.append(block)
             times.append(t[sel])
             last = ds
         if last is None:

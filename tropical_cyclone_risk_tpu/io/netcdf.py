@@ -221,14 +221,50 @@ def _read_classic(path: str) -> Dataset:
 
 
 def read(path: str) -> Dataset:
-    """Read a NetCDF file (classic or HDF5-based) into a :class:`Dataset`."""
+    """Read a NetCDF file (classic or HDF5-based) into a :class:`Dataset`.
+
+    Corrupt/truncated files raise ValueError naming the file — the raw
+    scipy/h5py parse errors (struct unpack sizes, HDF5 signature checks)
+    do not say WHICH file of a multifile set is broken."""
     with open(path, 'rb') as f:
         magic = f.read(4)
-    if magic.startswith(_HDF5_MAGIC):
-        return _read_h5(path)
-    if magic.startswith(_CDF_MAGIC):
-        return _read_classic(path)
+    try:
+        if magic.startswith(_HDF5_MAGIC):
+            return _read_h5(path)
+        if magic.startswith(_CDF_MAGIC):
+            return _read_classic(path)
+    except ValueError as e:
+        if path in str(e):
+            raise                  # already-contextualized error
+        raise ValueError(
+            f'{path}: corrupted or truncated NetCDF file '
+            f'(ValueError: {e}); re-download or regenerate it') from e
+    except Exception as e:
+        raise ValueError(
+            f'{path}: corrupted or truncated NetCDF file '
+            f'({type(e).__name__}: {e}); re-download or regenerate it'
+        ) from e
     raise ValueError(f'{path}: not a NetCDF file (magic={magic!r})')
+
+
+def _preflight_limit(sizes: Dict[str, int]) -> list:
+    """Classic NetCDF (64-bit offset) caps every fixed variable except the
+    LAST defined one at 4 GiB - 4 of data.  Returns the write order
+    (an oversized variable moved last); raises with the mitigation when
+    more than one variable is oversized — before any bytes are staged,
+    instead of a corrupt or truncated file at the end of a 700k-track
+    member write."""
+    limit = (1 << 32) - 4
+    big = [n for n, sz in sizes.items() if sz > limit]
+    if len(big) > 1:
+        mb = {n: sizes[n] >> 20 for n in big}
+        raise ValueError(
+            f'classic NetCDF cannot hold {len(big)} variables over 4 GiB '
+            f'(only the last-defined may exceed it): {mb} MiB. Mitigation: '
+            f'split the run into more ensemble members '
+            f'(runtime.run_downscaling per member) or reduce '
+            f'tracks_per_year x years per file.')
+    return [n for n in sizes if n not in big] + big
 
 
 def write(path: str,
@@ -312,9 +348,11 @@ def write(path: str,
             v[:] = arr
             for k, val in var_attrs.get(name, {}).items():
                 setattr(v, k, val)
-        for name, (dims, arr) in prepared.items():
-            if name in coords:
-                continue
+        sizes = {name: ((arr.size * arr.dtype.itemsize + 3) // 4) * 4
+                 for name, (dims, arr) in prepared.items()
+                 if name not in coords}
+        for name in _preflight_limit(sizes):
+            dims, arr = prepared[name]
             v = f.createVariable(name, arr.dtype, dims)
             v[:] = arr
             for k, val in var_attrs.get(name, {}).items():
