@@ -103,7 +103,7 @@ def main():
     # (quota fill + seed accounting + stopping rule + survivor fetch),
     # pipelined across year boundaries like runtime.run_downscaling
     ykey = jax.random.key(100)
-    pipeline.run_tracks_year(jax.random.fold_in(ykey, -1), pack, cfg,
+    pipeline.run_tracks_year(jax.random.fold_in(ykey, 9999), pack, cfg,
                              'GL', 0)                      # warm compiles
     n_years = 8
     pending = pipeline.prefetch_year_batch0(

@@ -256,6 +256,9 @@ class ReferenceChain:
         b = self.bounds
         tracks = []
         n_counted = n_integrated = 0
+        # per-(basin, month) counted-seed tally — the seeds_per_month
+        # output variable (util/compute.py:163-175 counting semantics)
+        self.counted_by_bm = np.zeros((len(self.f_basins), 12), np.int64)
         while n_counted < n_seeds:
             # area-weighted first draw over the genesis belt
             lat_min = 3.0 if np.sign(b[1]) >= 0 else -45.0
@@ -274,6 +277,7 @@ class ReferenceChain:
             if not (basin_val.max() > 1e-3 and rng.uniform() < p_lowlat):
                 continue
             n_counted += 1
+            self.counted_by_bm[b_idx, month - 1] += 1
             plane = month - cfg.start_month
             if not (0 <= plane < self.n_planes):
                 continue

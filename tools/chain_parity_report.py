@@ -40,6 +40,27 @@ def main(argv=None):
     pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
 
     rc = ReferenceChain(pack, cfg, 'GL')
+    dt_s = float(cfg.output_interval_s)
+
+    def pdi_of(vmax, dt=dt_s):
+        """Power-dissipation index per track: sum vmax^3 dt over finite
+        samples (reference notebook cell 16)."""
+        v = np.where(np.isfinite(vmax), vmax, 0.0)
+        return (v ** 3).sum(axis=-1) * dt
+
+    def landfall_vmax(lon, lat, vmax):
+        """vmax at the first along-track sample with land fraction >= 0.5
+        (identical detector for both chains: the pack's land spline)."""
+        fin = np.isfinite(lon) & np.isfinite(lat)
+        if not fin.any():
+            return None
+        land = rc.f_land.ev(lon[fin], lat[fin])
+        hit = np.flatnonzero(land >= 0.5)
+        # skip genesis-on-coast samples: require an ocean sample first
+        if hit.size and hit[0] > 0:
+            return float(vmax[fin][hit[0]])
+        return None
+
     tracks, n_counted_ref, _ = rc.run(np.random.default_rng(0),
                                       args.ref_seeds)
     ref_lmi = np.array([t.vmax.max() for t in tracks])
@@ -47,8 +68,15 @@ def main(argv=None):
     ref_month = np.array([t.month for t in tracks])
     ref_pos = np.concatenate([np.stack([t.lon, t.lat], 1) for t in tracks])
     ref_surv = len(tracks) / n_counted_ref
+    ref_pdi = np.array([pdi_of(t.vmax) for t in tracks])
+    ref_lf = np.array([v for t in tracks
+                       for v in [landfall_vmax(t.lon, t.lat, t.vmax)]
+                       if v is not None])
+    ref_spm = rc.counted_by_bm.astype(float)
 
-    lmis, lat0s, months, poss = [], [], [], []
+    n_basins = ref_spm.shape[0]
+    lmis, lat0s, months, poss, pdis, lfs = [], [], [], [], [], []
+    tpu_spm = np.zeros((n_basins, 12))
     n_counted = n_kept = 0
     for i in range(args.launches):
         tr, meta = pipeline._simulate_batch(
@@ -66,12 +94,23 @@ def main(argv=None):
         months.append(np.asarray(tr['month'])[:k])
         fin = np.isfinite(lon)
         poss.append(np.stack([lon[fin], lat[fin]], 1))
-        n_counted += int(np.asarray(meta['counted']).sum())
+        pdis.append(pdi_of(vmax))
+        for j in range(k):
+            v = landfall_vmax(lon[j], lat[j], vmax[j])
+            if v is not None:
+                lfs.append(v)
+        cm = np.asarray(meta['counted'])
+        mm = np.asarray(meta['month'])
+        bm = np.asarray(meta['basin_idx'])
+        np.add.at(tpu_spm, (bm[cm], mm[cm] - 1), 1.0)
+        n_counted += int(cm.sum())
         n_kept += k
     tpu_lmi = np.concatenate(lmis)
     tpu_lat0 = np.concatenate(lat0s)
     tpu_month = np.concatenate(months)
     tpu_pos = np.concatenate(poss)
+    tpu_pdi = np.concatenate(pdis)
+    tpu_lf = np.array(lfs)
     tpu_surv = n_kept / n_counted
 
     def density(pos):
@@ -86,6 +125,12 @@ def main(argv=None):
         - np.bincount(tpu_month.astype(int), minlength=13)[1:]
         / tpu_month.size).sum()
 
+    spm_tv = 0.5 * np.abs(ref_spm / ref_spm.sum()
+                          - tpu_spm / tpu_spm.sum()).sum()
+
+    def crit(n1, n2):
+        return round(1.63 * np.sqrt((n1 + n2) / (n1 * n2)), 4)
+
     report = {
         'n_ref_tracks': int(ref_lmi.size),
         'n_tpu_tracks': int(tpu_lmi.size),
@@ -93,14 +138,22 @@ def main(argv=None):
         'ks_genesis_lat': round(float(ks_2samp(np.abs(ref_lat0),
                                                np.abs(tpu_lat0)).statistic),
                                 4),
+        'ks_pdi': round(float(ks_2samp(ref_pdi, tpu_pdi).statistic), 4),
+        'ks_landfall_vmax': round(float(
+            ks_2samp(ref_lf, tpu_lf).statistic), 4),
+        'n_ref_landfalls': int(ref_lf.size),
+        'n_tpu_landfalls': int(tpu_lf.size),
         'seasonal_total_variation': round(float(month_tv), 4),
+        'seeds_per_month_total_variation': round(float(spm_tv), 4),
+        'n_ref_counted_seeds': int(ref_spm.sum()),
+        'n_tpu_counted_seeds': int(tpu_spm.sum()),
         'track_density_overlap': round(float(np.minimum(p, q).sum()), 4),
         'survival_ref': round(float(ref_surv), 5),
         'survival_tpu': round(float(tpu_surv), 5),
         'survival_ratio': round(float(tpu_surv / ref_surv), 4),
-        'ks_1pct_critical': round(
-            1.63 * np.sqrt((ref_lmi.size + tpu_lmi.size)
-                           / (ref_lmi.size * tpu_lmi.size)), 4),
+        'ks_1pct_critical': crit(ref_lmi.size, tpu_lmi.size),
+        'ks_1pct_critical_landfall': crit(max(ref_lf.size, 1),
+                                          max(tpu_lf.size, 1)),
     }
     out = json.dumps(report, indent=1)
     if args.json:
