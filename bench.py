@@ -52,11 +52,11 @@ def scan_rows_per_launch(cfg: Namelist, n: int) -> int:
     """Slot-steps the integration scan actually executes per launch."""
     m = pipeline.launch_width(cfg, n)
     T = cfg.n_steps_output
-    if pipeline._seg_active(cfg, m):
-        T1 = int(cfg.recompact_step)
-        m2 = pipeline.recompact_width(cfg, m)
-        return m * T1 + m2 * (T - T1)
-    return m * T
+    sched = pipeline.seg_schedule(cfg, m)
+    edges = [0] + [s for s, _ in sched] + [T]
+    widths = [m] + [w for _, w in sched]
+    return sum(w * (edges[i + 1] - edges[i])
+               for i, w in enumerate(widths))
 
 
 def main():
@@ -134,7 +134,9 @@ def main():
             'seconds_per_sim_year': round(dt_years / n_years, 4),
             'survivors_per_launch': round(survivors / n_iter, 1),
             'integrate_cap': cfg.integrate_cap,
-            'recompact': [cfg.recompact_step, cfg.recompact_cap],
+            'recompact': (list(cfg.recompact_schedule)
+                          if cfg.recompact_schedule is not None
+                          else [cfg.recompact_step, cfg.recompact_cap]),
             'units_note': ('storms/min counts proposed seeds (reference '
                            'rejection-loop iterations, bit-identical '
                            'outputs to integrating all slots); see '

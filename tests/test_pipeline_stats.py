@@ -175,6 +175,59 @@ def test_recompaction_identical():
     np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
 
 
+def test_multi_segment_schedule_identical():
+    """The round-3 multi-boundary recompact_schedule (here 3 boundaries,
+    4 scan segments) must reproduce the single-segment launch the same way
+    the one-boundary cut does: verdicts and trajectories bit-identical,
+    vmax to float32 ULP noise."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(5)
+    cfg_seg = CFG.replace(
+        integrate_cap=0.5,
+        recompact_schedule=((90, 0.625), (180, 0.4375), (270, 0.3125)))
+    cfg_one = CFG.replace(integrate_cap=0.5)
+    assert len(pipeline.seg_schedule(
+        cfg_seg, pipeline.launch_width(cfg_seg, CFG.seed_batch))) == 3
+    t_s, m_s = pipeline._simulate_batch(key, pack, cfg_seg, 'GL',
+                                        CFG.seed_batch, 256, jnp.int32(0))
+    t_o, m_o = pipeline._simulate_batch(key, pack, cfg_one, 'GL',
+                                        CFG.seed_batch, 256, jnp.int32(0))
+    assert int(np.asarray(m_s['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_s['keep']),
+                                  np.asarray(m_o['keep']))
+    valid = np.asarray(t_o['valid'])
+    np.testing.assert_array_equal(np.asarray(t_s['valid']), valid)
+    kv = int(valid.sum())
+    assert kv > 10
+    for k in ('lon', 'lat', 'v', 'm', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_s[k])[:kv],
+                                      np.asarray(t_o[k])[:kv], err_msg=k)
+    a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
+    fin = np.isfinite(a) | np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_multi_segment_overflow_falls_back():
+    """A schedule with one impossible boundary cap must overflow and fall
+    back to the exact uncapped launch through run_tracks_year."""
+    cfg_tiny = Namelist(seed_batch=4096).replace(
+        integrate_cap=0.5,
+        recompact_schedule=((120, 0.5), (180, 0.0626)))
+    pack = synthetic_pack(cfg_tiny, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(9)
+    _, meta = pipeline._simulate_batch(
+        jax.random.fold_in(key, 0), pack, cfg_tiny, 'GL', 4096, 8,
+        jnp.int32(0))
+    assert int(np.asarray(meta['overflow']).sum()) > 0
+    yt = pipeline.run_tracks_year(key, pack, cfg_tiny, 'GL', 0, n_tracks=3)
+    yt_full = pipeline.run_tracks_year(
+        key, pack, cfg_tiny.replace(integrate_cap=1.0,
+                                    recompact_schedule=None),
+        'GL', 0, n_tracks=3)
+    np.testing.assert_array_equal(yt.lon, yt_full.lon)
+    np.testing.assert_array_equal(yt.n_seeds, yt_full.n_seeds)
+
+
 def test_recompaction_overflow_falls_back():
     """A recompact cap below the boundary-survivor fraction must trigger
     the uncapped fallback, keeping run output exact."""

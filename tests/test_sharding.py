@@ -7,6 +7,7 @@ import numpy as np
 
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
+from tropical_cyclone_risk_tpu.models import pipeline
 from tropical_cyclone_risk_tpu.parallel import sharding
 
 CFG = Namelist(seed_batch=256)
@@ -112,6 +113,43 @@ def test_sharded_recompaction_identical():
     cfg_one = CFG.replace(seed_batch=n, integrate_cap=0.5)
     pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
     pack = sharding.replicate_pack(pack, mesh)
+    key = jax.random.key(3)
+    t_s, m_s = sharding.simulate_batch_sharded(mesh, key, pack, cfg_seg,
+                                               'GL', n=n, k_max=16,
+                                               plane_offset=0)
+    t_o, m_o = sharding.simulate_batch_sharded(mesh, key, pack, cfg_one,
+                                               'GL', n=n, k_max=16,
+                                               plane_offset=0)
+    assert int(np.asarray(m_s['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_s['keep']),
+                                  np.asarray(m_o['keep']))
+    valid = np.asarray(t_o['valid'])
+    np.testing.assert_array_equal(np.asarray(t_s['valid']), valid)
+    kv = int(valid.sum())
+    assert kv >= 3
+    for k in ('lon', 'lat', 'v', 'm', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_s[k])[:kv],
+                                      np.asarray(t_o[k])[:kv], err_msg=k)
+    a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
+    fin = np.isfinite(a) | np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_sharded_multi_segment_identical():
+    """The round-3 multi-boundary schedule on a mesh matches the
+    unsegmented sharded launch (per-segment global column indexing via
+    shard_index offsets)."""
+    mesh = sharding.make_mesh(8)
+    n = 8192                      # 1024/shard -> m=512; widths 512/256/256
+    cfg_seg = CFG.replace(
+        seed_batch=n, integrate_cap=0.5,
+        recompact_schedule=((90, 0.625), (200, 0.4)))
+    cfg_one = CFG.replace(seed_batch=n, integrate_cap=0.5)
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    pack = sharding.replicate_pack(pack, mesh)
+    # the 256-lane floor must still leave a strictly-decreasing schedule
+    m_local = pipeline.launch_width(cfg_seg, n // 8)
+    assert len(pipeline.seg_schedule(cfg_seg, m_local)) >= 1
     key = jax.random.key(3)
     t_s, m_s = sharding.simulate_batch_sharded(mesh, key, pack, cfg_seg,
                                                'GL', n=n, k_max=16,

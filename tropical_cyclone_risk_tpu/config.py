@@ -156,6 +156,16 @@ class Namelist:
     # boundary than the cap) falls back to an unsegmented launch.
     recompact_step: Optional[int] = None
     recompact_cap: Optional[float] = None
+    # generalized multi-boundary re-compaction (round 3): ascending
+    # (step, cap) pairs, each cap a fraction of the INITIAL integration
+    # width m.  The scan re-compacts at every boundary, so the window
+    # tracks the measured alive-decay curve instead of one mid-track cut
+    # (~25-35% fewer gather rows than the single boundary on the bench
+    # environment).  Takes precedence over recompact_step/recompact_cap;
+    # boundaries whose 256-rounded width does not shrink are dropped.
+    # Same exactness contract and overflow fallback as the single
+    # boundary.  Auto-built by pipeline.auto_integrate_cap.
+    recompact_schedule: Optional[Tuple[Tuple[int, float], ...]] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of

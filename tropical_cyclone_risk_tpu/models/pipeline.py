@@ -96,12 +96,16 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     cfg = cfg.replace(integrate_cap=cap)
     pack_y0 = fields_mod.slice_pack_year(pack, cfg, 0)
 
-    if cfg.recompact_step is None and cfg.recompact_cap is None:
+    if (cfg.recompact_step is None and cfg.recompact_cap is None
+            and cfg.recompact_schedule is None):
         # pathfinder probe: a small full-length launch measuring the
         # alive-decay curve — storms die along the track, so re-compacting
-        # the scan at step T1 to the surviving fraction saves
-        # (1 - cap2) x (T - T1) of the tail's gather rows.  Pick the
-        # (T1, cap2) bucket pair minimizing total rows.
+        # the scan at each boundary to the surviving fraction (with
+        # headroom) makes the window track the decay curve.  Round 3
+        # generalized the single (T1, cap) cut to a multi-boundary
+        # schedule: every candidate boundary whose cap bucket shrinks the
+        # width joins the schedule (measured ~25-35% fewer rows than the
+        # best single cut on the bench environment, docs/performance.md).
         n_p = min(cfg.seed_batch, 8192)
         counts = np.asarray(_alive_curve_probe(
             jax.random.fold_in(key, 0x9e3779), pack_y0, cfg, basin_id,
@@ -109,13 +113,14 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         curve = counts / float(launch_width(cfg, n_p))
         T = cfg.n_steps_output
         steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
-        best = (0.95 * T, None, None)          # only split if >=5% saved
-        # T1 candidates as fractions of the scan length, clamped above the
-        # 2-day filter window (for the default 361-step hourly scan these
-        # are exactly 90/120/150/180/210/240; any output_interval_s scales
-        # them so the tuned split can never be rejected by _seg_active)
+        # boundary candidates as fractions of the scan length, clamped
+        # above the 2-day filter window so the first segment always
+        # contains the v_2d sample
         cands = sorted({int(f * T) for f in
-                        (0.25, 1 / 3, 5 / 12, 0.5, 7 / 12, 2 / 3)})
+                        (1 / 6, 0.25, 1 / 3, 5 / 12, 0.5, 7 / 12, 2 / 3,
+                         3 / 4, 5 / 6)})
+        sched = []
+        prev_cap = 1.0
         for T1 in cands:
             if not (steps_2d < T1 < T - 1):
                 continue
@@ -123,21 +128,28 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
             # wider margin than the two-endpoint integrate-fraction probe
             frac2 = min(1.0, float(curve[T1]) * 1.15 + 1.0 / 64.0)
             cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= frac2)
-            rows = T1 + cap2 * (T - T1)
-            if rows < best[0]:
-                best = (rows, T1, cap2)
-        if best[1] is not None and best[2] < 1.0:
-            cfg = cfg.replace(recompact_step=best[1], recompact_cap=best[2])
-            if not _seg_active(cfg, launch_width(cfg, cfg.seed_batch)):
-                # possible when 256-lane rounding makes the recompacted
-                # width equal the full width at this batch size — the tuned
-                # pair is inert, which is harmless but worth surfacing
-                import logging
-                logging.getLogger('tc_risk_tpu').info(
-                    'tuned recompaction (step=%s cap=%s) is inert at '
-                    'seed_batch=%d (width rounding); launches stay '
-                    'single-segment', cfg.recompact_step,
-                    cfg.recompact_cap, cfg.seed_batch)
+            if cap2 < prev_cap:
+                sched.append((T1, cap2))
+                prev_cap = cap2
+        if sched:
+            edges = [0] + [s for s, _ in sched] + [T]
+            caps = [1.0] + [c for _, c in sched]
+            rows = sum(c * (edges[i + 1] - edges[i])
+                       for i, c in enumerate(caps))
+            if rows <= 0.95 * T:               # only split if >=5% saved
+                cfg = cfg.replace(recompact_schedule=tuple(sched))
+                if not _seg_active(cfg, launch_width(cfg,
+                                                     cfg.seed_batch)):
+                    # possible when 256-lane rounding leaves every
+                    # boundary width equal to the full width at this
+                    # batch size — the tuned schedule is inert, which is
+                    # harmless but worth surfacing
+                    import logging
+                    logging.getLogger('tc_risk_tpu').info(
+                        'tuned recompaction schedule %s is inert at '
+                        'seed_batch=%d (width rounding); launches stay '
+                        'single-segment', cfg.recompact_schedule,
+                        cfg.seed_batch)
     return cfg
 
 
@@ -157,17 +169,45 @@ def recompact_width(cfg: Namelist, m: int) -> int:
     return min(m, max(256, m2))
 
 
-def _seg_active(cfg: Namelist, m: int) -> bool:
-    """Whether the launch splits into two scan segments."""
+def _round256(w: float, lo: int, hi: int) -> int:
+    w = int(-(-int(w) // 256) * 256)
+    return min(hi, max(lo, w))
+
+
+def seg_schedule(cfg: Namelist, m: int) -> tuple:
+    """Active re-compaction boundaries as ((step, width), ...) for an
+    m-wide launch: ascending steps strictly inside (2-day filter window,
+    T-1), strictly decreasing 256-rounded widths (caps are fractions of
+    m).  recompact_schedule takes precedence over the single
+    recompact_step/recompact_cap pair; inert boundaries (width not
+    shrinking after rounding) are dropped."""
     steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
-    return (cfg.recompact_step is not None
-            and cfg.recompact_cap is not None
-            and steps_2d < cfg.recompact_step < cfg.n_steps_output - 1
-            and recompact_width(cfg, m) < m)
+    T = cfg.n_steps_output
+    if cfg.recompact_schedule is not None:
+        pairs = cfg.recompact_schedule
+    elif cfg.recompact_step is not None and cfg.recompact_cap is not None:
+        pairs = ((int(cfg.recompact_step), float(cfg.recompact_cap)),)
+    else:
+        return ()
+    out = []
+    prev_w = m
+    for step, cap in sorted(pairs):
+        if not (steps_2d < step < T - 1) or cap is None or cap >= 1.0:
+            continue
+        w = _round256(m * cap, 256, m)
+        if w < prev_w:
+            out.append((int(step), w))
+            prev_w = w
+    return tuple(out)
+
+
+def _seg_active(cfg: Namelist, m: int) -> bool:
+    """Whether the launch splits into multiple scan segments."""
+    return bool(seg_schedule(cfg, m))
 
 
 def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
-                plane_offset, b_index_offset=0):
+                plane_offset, shard_index=0):
     """Propose n seeds, integrate, filter — the per-seed work of one launch.
     Shared by the single-device and shard_map paths (parallel.sharding).
 
@@ -213,7 +253,8 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
             pack, cfg, state.lon, state.lat, state.v, params))
     dt_out = float(cfg.output_interval_s)
 
-    if not _seg_active(cfg, m):
+    sched = seg_schedule(cfg, m)
+    if not sched:
         raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
                                       g(prop.integrate))
         is_tc, _ = simulator.tc_filters_raw(cfg, raw)
@@ -223,71 +264,117 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
         tm = {'lon': raw.lon, 'lat': raw.lat, 'v': raw.v, 'm': raw.m,
               'vmax': vmax, 'wnds': raw.wnds, 'alive': raw.alive}
-        tmB = seg = None
+        tms = segs = None
         overflow2 = jnp.zeros((1,), jnp.int32)
     else:
-        # ---- two-segment scan with mid-track re-compaction ----
+        # ---- multi-segment scan with re-compaction at every boundary ----
+        # Generalizes the round-2 two-segment scan: the window shrinks at
+        # each schedule boundary to the still-alive storms (slot-stable
+        # order), tracking the alive-decay curve.  Frozen-state semantics
+        # make segments exactly composable, so survivor trajectories and
+        # keep verdicts are bit-identical to an unsegmented launch.
         from tropical_cyclone_risk_tpu.models import fields as fields_mod
-        T, T1 = cfg.n_steps_output, int(cfg.recompact_step)
-        m2 = recompact_width(cfg, m)
+        T = cfg.n_steps_output
+        edges = [0] + [s for s, _ in sched] + [T]
+        widths = [m] + [w for _, w in sched]
         bounds = _basins_mod.basin_bounds(cfg, basin_id)
         stacks = fields_mod.build_stacks(pack)
         alive0 = simulator.genesis_alive(pack, cfg, state, params,
                                          g(prop.integrate))
-        (lonA, latA, vA, mA, wndsA, aliveA), (yT1, aliveT1) = \
-            simulator.integrate_segment(stacks, cfg, bounds, state, alive0,
-                                        params, 0, T1)
-        # still-alive slots to the front (slot-stable), like step 0's
-        slot2 = jnp.arange(m)
-        order2 = jnp.argsort(jnp.where(aliveT1, slot2, slot2 + m))[:m2]
-        overflow2 = jnp.maximum(
-            aliveT1.sum(dtype=jnp.int32) - m2, 0)[None]
-        g2 = lambda a: jnp.take(a, order2, axis=0)
-        params2 = fast.SeedParams(
-            plane=g2(params.plane), h_bl=g2(params.h_bl),
-            fourier=params.fourier._replace(A=g2(params.fourier.A),
-                                            B=g2(params.fourier.B)))
-        y0B = fast.State(*(g2(x) for x in yT1))
-        (lonB, latB, vB, mB, wndsB, aliveB), _ = \
-            simulator.integrate_segment(stacks, cfg, bounds, y0B,
-                                        g2(aliveT1), params2, T1, T - T1)
 
-        # stitched per-slot reductions (A axis [m]); scatter back from B
-        cntA = aliveA.sum(axis=0, dtype=jnp.int32)          # [m]
-        cntB = aliveB.sum(axis=0, dtype=jnp.int32)          # [m2]
-        last_step = jnp.maximum(
-            cntA + jnp.zeros((m,), jnp.int32).at[order2].add(cntB) - 1, 0)
+        raws = []        # per segment: time-major dict on its own axis
+        orders = []      # per boundary: gather map axis k-1 -> axis k
+        a_idxs = []      # per later segment: composed map seg axis -> A axis
+        bnd_states = []  # per segment: carry state AT its end boundary
+        boundary_over = []
+        state_k, alive_k, params_k = state, alive0, params
+        a_idx = None
+        prev_w = m
+        for k, w in enumerate(widths):
+            t0, t1 = edges[k], edges[k + 1]
+            if k > 0:
+                slot = jnp.arange(prev_w)
+                order_k = jnp.argsort(
+                    jnp.where(alive_k, slot, slot + prev_w))[:w]
+                boundary_over.append(jnp.maximum(
+                    alive_k.sum(dtype=jnp.int32) - w, 0))
+                gk = lambda a, o=order_k: jnp.take(a, o, axis=0)
+                params_k = fast.SeedParams(
+                    plane=gk(params_k.plane), h_bl=gk(params_k.h_bl),
+                    fourier=params_k.fourier._replace(
+                        A=gk(params_k.fourier.A), B=gk(params_k.fourier.B)))
+                state_k = fast.State(*(gk(x) for x in state_k))
+                alive_k = gk(alive_k)
+                orders.append(order_k)
+                a_idx = order_k if a_idx is None else jnp.take(a_idx,
+                                                               order_k)
+                a_idxs.append(a_idx)
+            (lon_k, lat_k, v_k, m_k, wnds_k, alive_tm), (y_end, alive_end) \
+                = simulator.integrate_segment(stacks, cfg, bounds, state_k,
+                                              alive_k, params_k, t0,
+                                              t1 - t0)
+            raws.append({'lon': lon_k, 'lat': lat_k, 'v': v_k, 'm': m_k,
+                         'wnds': wnds_k, 'alive': alive_tm})
+            bnd_states.append(y_end)
+            state_k, alive_k = y_end, alive_end
+            prev_w = w
+
+        # stitched per-slot reductions on the A axis [m]
+        last_step = raws[0]['alive'].sum(axis=0, dtype=jnp.int32)
+        for ai, r in zip(a_idxs, raws[1:]):
+            last_step = last_step + jnp.zeros((m,), jnp.int32).at[ai].add(
+                r['alive'].sum(axis=0, dtype=jnp.int32))
+        last_step = jnp.maximum(last_step - 1, 0)
         steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
-        idx_2d = jnp.minimum(last_step, steps_2d)           # < T1 always
-        v_2d = jnp.take_along_axis(vA, idx_2d[None, :], axis=0)[0]
+        idx_2d = jnp.minimum(last_step, steps_2d)     # < edges[1] always
+        v_2d = jnp.take_along_axis(raws[0]['v'], idx_2d[None, :], axis=0)[0]
         thr = cfg.seed_v_threshold_ms
-        reachedA = jnp.any(jnp.where(aliveA, vA, 0.0) >= thr, axis=0)
-        reachedB = jnp.any(jnp.where(aliveB, vB, 0.0) >= thr, axis=0)
-        reached = reachedA | jnp.zeros((m,), bool).at[order2].set(reachedB)
-        is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) & aliveA[0]
+        reach = lambda r: jnp.any(
+            jnp.where(r['alive'], r['v'], 0.0) >= thr, axis=0)
+        reached = reach(raws[0])
+        for ai, r in zip(a_idxs, raws[1:]):
+            reached = reached | jnp.zeros((m,), bool).at[ai].set(reach(r))
+        is_tc = reached & (v_2d >= cfg.seed_v_2d_threshold_ms) \
+            & raws[0]['alive'][0]
 
         # vmax per segment with exact boundary neighbors; tracks that end
-        # in the other segment never trigger that segment's end fix-up
-        vmaxA, peakA = diagnostics.axi_to_max_wind_raw(
-            lonA, latA, dt_out, vA, wndsA, aliveA, last_step, cfg,
-            pos_after=jnp.stack([yT1.lon, yT1.lat]))
-        vmaxB, peakB = diagnostics.axi_to_max_wind_raw(
-            lonB, latB, dt_out, vB, wndsB, aliveB, g2(last_step) - T1, cfg,
-            pos_before=jnp.stack([g2(lonA[-1]), g2(latA[-1])]))
-        peak = jnp.maximum(peakA, jnp.full((m,), -jnp.inf)
-                           .at[order2].set(peakB))
+        # in another segment never trigger this segment's end fix-up
+        peak = None
+        for k, r in enumerate(raws):
+            inner = k + 1 < len(raws)
+            # the carry at this segment's end boundary is the sample
+            # neighboring its last row (pre-gather, on this segment's axis)
+            pos_after = (jnp.stack([bnd_states[k].lon, bnd_states[k].lat])
+                         if inner else None)
+            if k == 0:
+                ls_k, pos_before = last_step, None
+            else:
+                ls_k = jnp.take(last_step, a_idxs[k - 1]) - edges[k]
+                prev = raws[k - 1]
+                gb = lambda a: jnp.take(a, orders[k - 1], axis=0)
+                pos_before = jnp.stack([gb(prev['lon'][-1]),
+                                        gb(prev['lat'][-1])])
+            vmax_k, peak_k = diagnostics.axi_to_max_wind_raw(
+                r['lon'], r['lat'], dt_out, r['v'], r['wnds'], r['alive'],
+                ls_k, cfg, pos_before=pos_before, pos_after=pos_after)
+            r['vmax'] = vmax_k
+            if k == 0:
+                peak = peak_k
+            else:
+                peak = jnp.maximum(peak, jnp.full((m,), -jnp.inf)
+                                   .at[a_idxs[k - 1]].set(peak_k))
         keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
 
-        # B-axis position of each A slot (global across a device mesh via
-        # b_index_offset), and whether it rode segment B at all
-        inv = jnp.zeros((m,), jnp.int32).at[order2].set(
-            b_index_offset + jnp.arange(m2, dtype=jnp.int32))
-        selected = jnp.zeros((m,), bool).at[order2].set(True)
-        tm = {'lon': lonA, 'lat': latA, 'v': vA, 'm': mA, 'vmax': vmaxA,
-              'wnds': wndsA, 'alive': aliveA}
-        tmB = {'lon': lonB, 'lat': latB, 'v': vB, 'm': mB, 'vmax': vmaxB,
-               'wnds': wndsB, 'alive': aliveB}
-        seg = {'inv': inv, 'selected': selected}
+        # per-segment A-axis maps for survivor column gathers (global
+        # across a device mesh via shard_index offsets)
+        segs = tuple(
+            {'inv': jnp.zeros((m,), jnp.int32).at[ai].set(
+                shard_index * w + jnp.arange(w, dtype=jnp.int32)),
+             'selected': jnp.zeros((m,), bool).at[ai].set(True)}
+            for ai, w in zip(a_idxs, widths[1:]))
+        tm = raws[0]
+        tms = tuple(raws[1:])
+        overflow2 = sum(boundary_over)[None]
 
     # full-width keep (for the stopping rule's slot-sequential cumsum):
     # scatter the compacted verdicts back to their original slots
@@ -302,9 +389,9 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         'tm': tm,
         'overflow': jnp.concatenate([overflow, overflow2]),
     }
-    if tmB is not None:
-        body['tmB'] = tmB
-        body['seg'] = seg
+    if tms is not None:
+        body['tms'] = tms
+        body['segs'] = segs
     return body
 
 
@@ -324,19 +411,22 @@ def compact_survivors(body: dict, m: int, k_max: int,
     # only the [T, k_max] result
     gt = lambda a: constrain(jnp.moveaxis(jnp.take(a, order, axis=1), 0, 1))
     alive_g = gt(tm['alive'])
-    if 'tmB' in body:
-        # stitched two-segment launch: survivor columns come from segment A
-        # plus (for storms that rode segment B) their B column; storms that
-        # died in A read B column 0 harmlessly — those samples are masked
-        # dead below
-        tmB, segi = body['tmB'], body['seg']
-        bcol = g(segi['inv'])
-        sel = g(segi['selected'])
-        gb = lambda a: constrain(jnp.moveaxis(jnp.take(a, bcol, axis=1),
-                                              0, 1))
-        alive_g = jnp.concatenate(
-            [alive_g, sel[:, None] & gb(tmB['alive'])], axis=1)
-        col = lambda k: jnp.concatenate([gt(tm[k]), gb(tmB[k])], axis=1)
+    if 'tms' in body:
+        # stitched multi-segment launch: survivor rows concatenate their
+        # segment-0 columns with (for storms that rode each later segment)
+        # that segment's column; storms absent from a segment read its
+        # column 0 harmlessly — those samples are masked dead below
+        gbs = []
+        for tm_k, seg_k in zip(body['tms'], body['segs']):
+            bcol = g(seg_k['inv'])
+            sel = g(seg_k['selected'])
+            gb = (lambda a, b=bcol: constrain(
+                jnp.moveaxis(jnp.take(a, b, axis=1), 0, 1)))
+            alive_g = jnp.concatenate(
+                [alive_g, sel[:, None] & gb(tm_k['alive'])], axis=1)
+            gbs.append((tm_k, gb))
+        col = lambda k: jnp.concatenate(
+            [gt(tm[k])] + [gb(tm_k[k]) for tm_k, gb in gbs], axis=1)
     else:
         col = lambda k: gt(tm[k])
     nan = jnp.float32(jnp.nan)
@@ -446,7 +536,19 @@ def bump_caps(cfg: Namelist, n_over1: int, n_over2: int, n: int,
         cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
         cfg = cfg.replace(integrate_cap=cap)
         m = launch_width(cfg, n)
-    if n_over2 > 0 and cfg.recompact_cap is not None:
+    if n_over2 > 0 and cfg.recompact_schedule is not None:
+        # the overflow total does not say WHICH boundary overflowed, so
+        # widen every boundary by the measured total demand (conservative;
+        # overflow is a rare drift signal, not a steady state)
+        new = []
+        for step, cap in cfg.recompact_schedule:
+            w = _round256(m * cap, 256, m)
+            target2 = min(1.0, (w + n_over2) / m * margin + 1.0 / 64.0)
+            cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target2)
+            if cap2 < 1.0:
+                new.append((step, cap2))
+        cfg = cfg.replace(recompact_schedule=tuple(new) or None)
+    elif n_over2 > 0 and cfg.recompact_cap is not None:
         m2 = recompact_width(cfg, m)
         frac2 = (m2 + n_over2) / m
         target2 = min(1.0, frac2 * margin + 1.0 / 64.0)
@@ -520,7 +622,8 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 'uncapped launch', n_over1, n_over2, b_i, cfg.integrate_cap,
                 cfg.recompact_cap)
             cfg_full = cfg.replace(integrate_cap=1.0, recompact_step=None,
-                                   recompact_cap=None)
+                                   recompact_cap=None,
+                                   recompact_schedule=None)
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)

@@ -61,16 +61,16 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
     n_local = n // n_dev
 
     m_local = pipeline.launch_width(cfg, n_local)
-    m2_local = pipeline.recompact_width(cfg, m_local)
     seg = pipeline._seg_active(cfg, m_local)
 
     def local_shard(key, plane_offset, pack: FieldPack):
-        # decorrelate shards: fold the device index into the key; offset
-        # segment-B indices so they address the concatenated global B axis
+        # decorrelate shards: fold the device index into the key; the
+        # shard index offsets each later segment's column indices so they
+        # address that segment's concatenated global axis
         d = jax.lax.axis_index(SEED_AXIS)
         return pipeline.launch_body(jax.random.fold_in(key, d), pack, cfg,
                                     basin_id, n_local, plane_offset,
-                                    b_index_offset=d * m2_local)
+                                    shard_index=d)
 
     # per-seed arrays are sharded on axis 0; time-major track buffers on
     # axis 1 (launch_body's scan-native [T, m_local] layout).  The
@@ -81,8 +81,8 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
     out_specs = {'seed': P(SEED_AXIS), 'trk': P(SEED_AXIS),
                  'tm': P(None, SEED_AXIS), 'overflow': P(SEED_AXIS)}
     if seg:
-        out_specs['tmB'] = P(None, SEED_AXIS)
-        out_specs['seg'] = P(SEED_AXIS)
+        out_specs['tms'] = P(None, SEED_AXIS)
+        out_specs['segs'] = P(SEED_AXIS)
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(), P(), P()),

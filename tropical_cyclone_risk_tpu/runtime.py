@@ -126,9 +126,12 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
         cfg = pipeline.auto_integrate_cap(
             jax.random.fold_in(key, years[0]), pack, cfg, basin_id)
         obs.log.info('integrate_cap auto-tuned to %.4f (scan width %d of '
-                     '%d seeds); recompact %s @ step %s', cfg.integrate_cap,
+                     '%d seeds); recompact schedule %s', cfg.integrate_cap,
                      pipeline.launch_width(cfg, cfg.seed_batch),
-                     cfg.seed_batch, cfg.recompact_cap, cfg.recompact_step)
+                     cfg.seed_batch,
+                     cfg.recompact_schedule
+                     if cfg.recompact_schedule is not None
+                     else (cfg.recompact_step, cfg.recompact_cap))
     t0 = time.time()
     metrics = obs.Metrics()
     results = []
