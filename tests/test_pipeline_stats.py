@@ -262,6 +262,16 @@ def test_auto_integrate_cap():
     prop_frac = 0.26
     assert cfg_auto.integrate_cap >= prop_frac
     assert cfg_auto.integrate_cap <= 0.5
+    # the alive-decay pathfinder emits a multi-boundary schedule on this
+    # environment: ascending steps, strictly decreasing caps, all active
+    # at the configured batch size
+    sched = cfg_auto.recompact_schedule
+    assert sched is not None and len(sched) >= 2
+    assert list(sched) == sorted(sched)
+    caps = [c for _, c in sched]
+    assert caps == sorted(caps, reverse=True) and caps[0] < 1.0
+    assert len(pipeline.seg_schedule(
+        cfg_auto, pipeline.launch_width(cfg_auto, CFG.seed_batch))) >= 2
     # explicit cap passes through untouched
     explicit = CFG.replace(integrate_cap=0.75)
     assert pipeline.auto_integrate_cap(key, pack, explicit,
