@@ -52,9 +52,8 @@ def scan_rows_per_launch(cfg: Namelist, n: int) -> int:
     """Slot-steps the integration scan actually executes per launch."""
     m = pipeline.launch_width(cfg, n)
     T = cfg.n_steps_output
-    sched = pipeline.seg_schedule(cfg, m)
-    edges = [0] + [s for s, _ in sched] + [T]
-    widths = [m] + [w for _, w in sched]
+    edges, widths = pipeline.seg_edges_widths(
+        pipeline.seg_schedule(cfg, m), m, T)
     return sum(w * (edges[i + 1] - edges[i])
                for i, w in enumerate(widths))
 

@@ -140,16 +140,18 @@ def test_sharded_multi_segment_identical():
     unsegmented sharded launch (per-segment global column indexing via
     shard_index offsets)."""
     mesh = sharding.make_mesh(8)
-    n = 8192                      # 1024/shard -> m=512; widths 512/256/256
+    n = 12288       # 1536/shard -> m_local=768; boundary widths 512, 256
     cfg_seg = CFG.replace(
         seed_batch=n, integrate_cap=0.5,
-        recompact_schedule=((90, 0.625), (200, 0.4)))
+        recompact_schedule=((90, 0.6), (200, 0.33)))
     cfg_one = CFG.replace(seed_batch=n, integrate_cap=0.5)
     pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
     pack = sharding.replicate_pack(pack, mesh)
-    # the 256-lane floor must still leave a strictly-decreasing schedule
+    # the 256-lane floor must leave BOTH boundaries active per shard, or
+    # this test silently degrades to the single-boundary r2 coverage
     m_local = pipeline.launch_width(cfg_seg, n // 8)
-    assert len(pipeline.seg_schedule(cfg_seg, m_local)) >= 1
+    assert [w for _, w in pipeline.seg_schedule(cfg_seg, m_local)] \
+        == [512, 256]
     key = jax.random.key(3)
     t_s, m_s = sharding.simulate_batch_sharded(mesh, key, pack, cfg_seg,
                                                'GL', n=n, k_max=16,

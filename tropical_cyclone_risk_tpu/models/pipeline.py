@@ -48,6 +48,14 @@ class YearTracks:
     n_proposed: int = 0      # total proposal slots drawn (drop-rate denom)
 
 
+def _round256(w: float, lo: int, hi: int) -> int:
+    """ceil to a 256 lane-tile multiple, clamped to [lo, hi] — the one
+    rounding rule every scan-width computation shares (launch, boundary
+    schedule, legacy recompact)."""
+    w = int(-(-int(w) // 256) * 256)
+    return min(hi, max(lo, w))
+
+
 def launch_width(cfg: Namelist, n: int) -> int:
     """Width m of the integration scan for an n-seed proposal batch:
     ceil(n * integrate_cap) rounded up to a 256 lane-tile multiple.
@@ -55,8 +63,7 @@ def launch_width(cfg: Namelist, n: int) -> int:
     auto_integrate_cap) means uncapped for direct launches."""
     if cfg.integrate_cap is None or cfg.integrate_cap >= 1.0:
         return n
-    m = int(-(-int(n * cfg.integrate_cap) // 256) * 256)
-    return min(n, max(256, m))
+    return _round256(n * cfg.integrate_cap, 256, n)
 
 
 # auto_integrate_cap chooses among these (coarse on purpose: every distinct
@@ -165,13 +172,7 @@ def recompact_width(cfg: Namelist, m: int) -> int:
     """Width of the post-recompaction scan segment (256-multiple)."""
     if cfg.recompact_cap is None or cfg.recompact_cap >= 1.0:
         return m
-    m2 = int(-(-int(m * cfg.recompact_cap) // 256) * 256)
-    return min(m, max(256, m2))
-
-
-def _round256(w: float, lo: int, hi: int) -> int:
-    w = int(-(-int(w) // 256) * 256)
-    return min(hi, max(lo, w))
+    return _round256(m * cfg.recompact_cap, 256, m)
 
 
 def seg_schedule(cfg: Namelist, m: int) -> tuple:
@@ -204,6 +205,14 @@ def seg_schedule(cfg: Namelist, m: int) -> tuple:
 def _seg_active(cfg: Namelist, m: int) -> bool:
     """Whether the launch splits into multiple scan segments."""
     return bool(seg_schedule(cfg, m))
+
+
+def seg_edges_widths(sched, m: int, T: int):
+    """(edges [K+1], widths [K]) of the segment decomposition — the one
+    place the schedule becomes scan segments (launch_body, bench row
+    accounting)."""
+    return ([0] + [s for s, _ in sched] + [T],
+            [m] + [w for _, w in sched])
 
 
 def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
@@ -275,8 +284,7 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         # keep verdicts are bit-identical to an unsegmented launch.
         from tropical_cyclone_risk_tpu.models import fields as fields_mod
         T = cfg.n_steps_output
-        edges = [0] + [s for s, _ in sched] + [T]
-        widths = [m] + [w for _, w in sched]
+        edges, widths = seg_edges_widths(sched, m, T)
         bounds = _basins_mod.basin_bounds(cfg, basin_id)
         stacks = fields_mod.build_stacks(pack)
         alive0 = simulator.genesis_alive(pack, cfg, state, params,
@@ -547,7 +555,11 @@ def bump_caps(cfg: Namelist, n_over1: int, n_over2: int, n: int,
             cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target2)
             if cap2 < 1.0:
                 new.append((step, cap2))
-        cfg = cfg.replace(recompact_schedule=tuple(new) or None)
+        # clearing the schedule must DISABLE recompaction, not unmask a
+        # stale legacy recompact_step/recompact_cap pair underneath it
+        cfg = cfg.replace(recompact_schedule=tuple(new) or None,
+                          recompact_step=None, recompact_cap=None) \
+            if not new else cfg.replace(recompact_schedule=tuple(new))
     elif n_over2 > 0 and cfg.recompact_cap is not None:
         m2 = recompact_width(cfg, m)
         frac2 = (m2 + n_over2) / m
@@ -618,9 +630,11 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             import logging
             logging.getLogger('tc_risk_tpu').warning(
                 'compaction cap overflowed by %d/%d seeds (batch %d, '
-                'integrate_cap=%s recompact_cap=%s); falling back to an '
+                'integrate_cap=%s recompact %s); falling back to an '
                 'uncapped launch', n_over1, n_over2, b_i, cfg.integrate_cap,
-                cfg.recompact_cap)
+                cfg.recompact_schedule
+                if cfg.recompact_schedule is not None
+                else (cfg.recompact_step, cfg.recompact_cap))
             cfg_full = cfg.replace(integrate_cap=1.0, recompact_step=None,
                                    recompact_cap=None,
                                    recompact_schedule=None)
@@ -633,9 +647,11 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             if adapt is not None:
                 adapt['cfg'] = cfg
             logging.getLogger('tc_risk_tpu').warning(
-                'caps re-tuned: integrate_cap=%s recompact_cap=%s '
-                '(recompact_step=%s)', cfg.integrate_cap,
-                cfg.recompact_cap, cfg.recompact_step)
+                'caps re-tuned: integrate_cap=%s recompact %s',
+                cfg.integrate_cap,
+                cfg.recompact_schedule
+                if cfg.recompact_schedule is not None
+                else (cfg.recompact_step, cfg.recompact_cap))
         # cap at k_max: a sharded launch can keep more survivors than the
         # k_max materialized track rows (per-shard width rounding); the
         # extras are simply not accepted this batch and the loop draws
