@@ -656,7 +656,12 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
         # k_max materialized track rows (per-shard width rounding); the
         # extras are simply not accepted this batch and the loop draws
         # another batch for the remaining quota
-        take = min(n_new, n_tracks - got, k_max)
+        # clamp by the batch's actually-materialized rows too: a prefetched
+        # first_batch dispatched before an adaptive cap bump can carry a
+        # smaller k_max than the re-tuned cfg implies — slicing past its
+        # rows would silently under-append while `got` overcounts
+        take = min(n_new, n_tracks - got, k_max,
+                   int(tracks['lon'].shape[0]))
         if take > 0:
             host = jax.device_get({k: v[:take] for k, v in tracks.items()})
             rows.append(host)
