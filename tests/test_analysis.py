@@ -296,6 +296,56 @@ def test_pdi(ensemble):
     np.testing.assert_allclose(p.sum(), total, rtol=1e-6)
 
 
+def test_intensity_change():
+    """README.md:111-113 validation distribution: 24-h intensity change
+    over open-ocean samples with vmax >= 35 kt, NA-only."""
+    cfg = CFG.replace(start_year=2016, end_year=2016)
+    T = cfg.n_steps_output
+    lon = np.full((1, 3, T), np.nan, np.float32)
+    lat = np.full((1, 3, T), np.nan, np.float32)
+    vmax = np.full((1, 3, T), np.nan, np.float32)
+    # track 0 (NA): 60 ocean samples, vmax = 20 + 0.5 t -> dv24 = 12 exactly
+    lon[0, 0, :60] = 280.0
+    lat[0, 0, :60] = 20.0
+    vmax[0, 0, :60] = 20.0 + 0.5 * np.arange(60)
+    # track 1 (NA): same ramp but moves onto land at sample 30
+    lon[0, 1, :60] = np.where(np.arange(60) < 30, 280.0, 310.0)
+    lat[0, 1, :60] = 20.0
+    vmax[0, 1, :60] = 20.0 + 0.5 * np.arange(60)
+    # track 2 (EP): strong ramp, excluded by the basin filter
+    lon[0, 2, :60] = 240.0
+    lat[0, 2, :60] = 15.0
+    vmax[0, 2, :60] = 30.0 + 1.0 * np.arange(60)
+    land_lon = np.arange(0.0, 360.0, 1.0)
+    land_lat = np.linspace(-90, 90, 181)
+    land = np.zeros((181, 360), np.float32)
+    land[:, 300:] = 1.0
+    ens = analysis.TrackEnsemble(
+        lon=lon, lat=lat, vmax=vmax, v=vmax,
+        tc_month=np.array([[9, 9, 9]]),
+        tc_years=np.array([[2016, 2016, 2016]]),
+        tc_basins=np.array([['NA', 'NA', 'EP']]),
+        seeds_per_month=np.zeros((1, 1, 7, 12)),
+        year=np.array([2016]), basin=list(cfg.basin_ids_sorted()))
+
+    dv = analysis.intensity_change(ens, land, land_lon, land_lat,
+                                   basin_id='NA')
+    # track 0: t = 0..35 all eligible (vmax(0) = 20 >= 35 kt = 18.0 m/s)
+    # track 1: both endpoints must be over ocean -> t and t+24 < 30: t 0..5
+    assert dv.size == 36 + 6
+    np.testing.assert_allclose(dv, 12.0, atol=1e-5)
+    # without the basin filter track 2 contributes t = 0..35 at dv = 24
+    dv_all = analysis.intensity_change(ens, land, land_lon, land_lat)
+    assert dv_all.size == 42 + 36
+    np.testing.assert_allclose(np.sort(dv_all)[-36:], 24.0, atol=1e-5)
+    # threshold: raising the floor above every sample leaves nothing
+    assert analysis.intensity_change(ens, land, land_lon, land_lat,
+                                     min_vmax_ms=200.0).size == 0
+    with pytest.raises(ValueError):
+        analysis.intensity_change(ens, land, land_lon, land_lat,
+                                  window_h=T * 2.0)
+
+
 def test_landfall_substeps_subgrid_island():
     """Round 3 (VERDICT weak #3): hourly nearest-gridpoint sampling steps
     over a one-cell island crossed mid-segment; substeps>1 segment-crossing

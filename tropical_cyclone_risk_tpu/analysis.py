@@ -411,6 +411,43 @@ def landfall_return_period_ci(ens: TrackEnsemble, land: np.ndarray,
     return vmax_bins, rp, lo, hi
 
 
+def intensity_change(ens: TrackEnsemble, land: np.ndarray,
+                     land_lon: np.ndarray, land_lat: np.ndarray,
+                     window_h: float = 24.0,
+                     min_vmax_ms: float = 35.0 / MS_TO_KTS,
+                     basin_id: Optional[str] = None,
+                     dt_s: float = 3600.0) -> np.ndarray:
+    """24-hour (window_h) intensity-change samples, the reference README's
+    validation distribution (README.md:111-113: "24h-hour intensity change
+    distribution ... Only open-ocean tropical cyclones with intensities of
+    at-least 35 knots were considered").
+
+    For every track sample t with vmax(t) >= min_vmax_ms (default 35 kt)
+    where the storm is over open ocean at BOTH t and t + window_h (nearest-
+    gridpoint land test, the same convention as landfalls()), emits
+    vmax(t + window_h) - vmax(t).  Overlapping windows are all counted
+    (one sample per output step), matching how such distributions are
+    accumulated from 6-hourly best-track data.  basin_id restricts to
+    tracks whose tc_basins match (the README figure is NA-only).
+
+    Returns the flat array of intensity changes in m/s (multiply by
+    MS_TO_KTS for the README's knots axis)."""
+    k = int(round(window_h * 3600.0 / dt_s))
+    if not 0 < k < ens.vmax.shape[-1]:
+        raise ValueError(f'window {window_h} h = {k} steps is outside the '
+                         f'track length {ens.vmax.shape[-1]}')
+    vmax, lon, lat = ens.vmax, ens.lon, ens.lat
+    if basin_id is not None:
+        sel = ens.tc_basins == basin_id
+        vmax, lon, lat = vmax[sel], lon[sel], lat[sel]
+    valid = np.isfinite(vmax) & np.isfinite(lon) & np.isfinite(lat)
+    ocean = valid & ~_on_land_at(land, land_lon, land_lat, lon, lat, valid)
+    v0, v1 = vmax[..., :-k], vmax[..., k:]
+    ok = (ocean[..., :-k] & ocean[..., k:]
+          & np.isfinite(v0) & np.isfinite(v1) & (v0 >= min_vmax_ms))
+    return (v1 - v0)[ok]
+
+
 def pdi(ens: TrackEnsemble, dt_s: float = 3600.0) -> np.ndarray:
     """Power dissipation index per year: sum of vmax^3 dt over all track
     samples (the interannual-variability metric of the reference's
