@@ -207,6 +207,41 @@ def test_multi_segment_schedule_identical():
     np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
 
 
+def test_multi_segment_identical_with_stride():
+    """Segmented-vs-unsegmented composition stays exact at
+    field_sample_stride=2: seg_schedule snaps boundaries to stride
+    multiples so every segment's block-gather steps coincide with the
+    unsegmented launch's.  The odd requested boundary (91) must snap."""
+    cfg2 = CFG.replace(field_sample_stride=2)
+    pack = synthetic_pack(cfg2, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(5)
+    cfg_seg = cfg2.replace(
+        integrate_cap=0.5,
+        recompact_schedule=((91, 0.625), (180, 0.4375), (271, 0.3125)))
+    cfg_one = cfg2.replace(integrate_cap=0.5)
+    sched = pipeline.seg_schedule(cfg_seg,
+                                  pipeline.launch_width(cfg_seg,
+                                                        cfg2.seed_batch))
+    assert [s for s, _ in sched] == [92, 180, 272]
+    t_s, m_s = pipeline._simulate_batch(key, pack, cfg_seg, 'GL',
+                                        cfg2.seed_batch, 256, jnp.int32(0))
+    t_o, m_o = pipeline._simulate_batch(key, pack, cfg_one, 'GL',
+                                        cfg2.seed_batch, 256, jnp.int32(0))
+    assert int(np.asarray(m_s['overflow']).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_s['keep']),
+                                  np.asarray(m_o['keep']))
+    valid = np.asarray(t_o['valid'])
+    np.testing.assert_array_equal(np.asarray(t_s['valid']), valid)
+    kv = int(valid.sum())
+    assert kv > 10
+    for k in ('lon', 'lat', 'v', 'm', 'wnds', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(np.asarray(t_s[k])[:kv],
+                                      np.asarray(t_o[k])[:kv], err_msg=k)
+    a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
+    fin = np.isfinite(a) | np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
 def test_multi_segment_overflow_falls_back():
     """A schedule with one impossible boundary cap must overflow and fall
     back to the exact uncapped launch through run_tracks_year."""

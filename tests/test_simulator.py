@@ -163,6 +163,59 @@ def test_frozen_field_step_accuracy():
     assert np.nanmax(d_v[both]) < 1.5
 
 
+def test_field_sample_stride_uniform_fields_exact():
+    """With spatially uniform fields, block-start gathers return the same
+    values as per-step gathers, so the strided scan must reproduce the
+    per-step scan essentially exactly — this pins the block plumbing
+    (step indexing, per-step Fourier slices, alive semantics, remainder
+    stitching) with the staleness confound removed."""
+    pack, params, y0 = _setup_batch(n=4)
+    # flatten every field to its value at one tropical-ocean point
+    la = int(np.round((12.0 - (-90.0)) / 2.0))       # lat 12, 2-deg grid
+    lo = int(np.round(180.0 / 2.0))
+    const = lambda a: jnp.broadcast_to(a[..., la:la + 1, lo:lo + 1, :],
+                                       a.shape)
+    pack = pack._replace(
+        wind=const(pack.wind), env=const(pack.env),
+        land=jnp.zeros_like(pack.land),
+        bathy=jnp.full_like(pack.bathy, -4000.0),
+        basin_masks=jnp.ones_like(pack.basin_masks),
+        run_mask=jnp.ones_like(pack.run_mask))
+    out1 = simulator.integrate(pack, CFG, 'GL', y0, params,
+                               jnp.ones(4, bool))
+    for stride in (2, 3):
+        outS = simulator.integrate(
+            pack, CFG.replace(field_sample_stride=stride), 'GL', y0,
+            params, jnp.ones(4, bool))
+        np.testing.assert_array_equal(np.asarray(out1.alive),
+                                      np.asarray(outS.alive))
+        both = np.asarray(out1.alive)
+        for a, b in ((out1.lon, outS.lon), (out1.lat, outS.lat),
+                     (out1.v, outS.v), (out1.m, outS.m)):
+            np.testing.assert_allclose(np.asarray(a)[both],
+                                       np.asarray(b)[both],
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_field_sample_stride_accuracy():
+    """Strided field sampling on the structured synthetic environment:
+    deviation from the per-step default stays far below the stochastic
+    track spread (same bar as test_frozen_field_step_accuracy; staleness
+    grows from <= 1 h to <= stride hours)."""
+    pack, params, y0 = _setup_batch(n=4)
+    out1 = simulator.integrate(pack, CFG, 'GL', y0, params,
+                               jnp.ones(4, bool))
+    for stride, lim_lon, lim_v in ((2, 1.0, 3.0), (3, 1.5, 4.5)):
+        outS = simulator.integrate(
+            pack, CFG.replace(field_sample_stride=stride), 'GL', y0,
+            params, jnp.ones(4, bool))
+        both = np.asarray(out1.alive) & np.asarray(outS.alive)
+        d_lon = np.abs(np.asarray(out1.lon) - np.asarray(outS.lon))
+        d_v = np.abs(np.asarray(out1.v) - np.asarray(outS.v))
+        assert np.nanmax(d_lon[both]) < lim_lon, stride
+        assert np.nanmax(d_v[both]) < lim_v, stride
+
+
 def test_track_dies_over_cold_water():
     pack, params, _ = _setup_batch()
     # seeds at high latitude: vpot ~ 0 there, v decays below 4 m/s

@@ -190,15 +190,26 @@ def seg_schedule(cfg: Namelist, m: int) -> tuple:
         pairs = ((int(cfg.recompact_step), float(cfg.recompact_cap)),)
     else:
         return ()
+    # strided field sampling gathers at steps k0, k0+S, ...: boundaries
+    # snap to multiples of S so every segment's gather steps coincide with
+    # the unsegmented launch's (keeps segmented-vs-unsegmented composition
+    # exact at any stride; simulator._integrate_blocks)
+    stride = 1
+    if not cfg.rk_exact_stage_fields and max(1, int(cfg.rk_substeps)) == 1:
+        stride = max(1, int(cfg.field_sample_stride))
     out = []
     prev_w = m
+    prev_step = 0
     for step, cap in sorted(pairs):
-        if not (steps_2d < step < T - 1) or cap is None or cap >= 1.0:
+        step = int(round(step / stride)) * stride
+        if not (steps_2d < step < T - 1) or cap is None or cap >= 1.0 \
+                or step <= prev_step:
             continue
         w = _round256(m * cap, 256, m)
         if w < prev_w:
             out.append((int(step), w))
             prev_w = w
+            prev_step = step
     return tuple(out)
 
 

@@ -109,6 +109,21 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
     dt_out = float(cfg.output_interval_s)
     sub = max(1, int(cfg.rk_substeps))
     dt = dt_out / sub
+    stride = max(1, int(cfg.field_sample_stride))
+
+    if not cfg.rk_exact_stage_fields and sub == 1 and stride > 1 \
+            and n_steps >= stride:
+        # strided path: one field gather per stride-step block
+        # (cfg.field_sample_stride) — the remainder steps run through the
+        # per-step scan below with carry handed over
+        n_blocks, rem = divmod(n_steps, stride)
+        outs_b, (y0, alive0) = _integrate_blocks(
+            stacks, cfg, bounds, y0, alive0, params, k0, n_blocks, stride)
+        if rem == 0:
+            return outs_b, (y0, alive0)
+        k0, n_steps = k0 + n_blocks * stride, rem
+    else:
+        outs_b = None
 
     if cfg.rk_exact_stage_fields:
         step_fn = lambda t, y, h, f=None: _rk4_step(
@@ -145,6 +160,54 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
         return (y1, alive1), out
 
     carry_end, outs = jax.lax.scan(step, (y0, alive0), xs)
+    if outs_b is not None:
+        outs = tuple(jnp.concatenate([a, b], axis=0)
+                     for a, b in zip(outs_b, outs))
+    return outs, carry_end
+
+
+def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
+                      alive0: jnp.ndarray, params: fast.SeedParams,
+                      k0: int, n_blocks: int, stride: int):
+    """Strided scan: samples k0 .. k0 + n_blocks*stride - 1, one field
+    gather per block of `stride` output steps (cfg.field_sample_stride).
+
+    Fields (and land/bathy) are gathered at the BLOCK-START position and
+    reused for every step of the block — staleness grows from <= 1 output
+    interval (the frozen-per-step default) to <= stride intervals.  The
+    Fourier flow, wind coloring, steering weights, and alive-mask
+    semantics remain per-step exact, identical to the unstrided body."""
+    dt_out = float(cfg.output_interval_s)
+    n_steps = n_blocks * stride
+    ks_all = k0 + jnp.arange(n_steps)
+    f_all = params.fourier.evaluate_grid(ks_all.astype(jnp.float32) * dt_out)
+    kb = k0 + stride * jnp.arange(n_blocks)
+    # [n_blocks, stride, ...] per-step Fourier slices streamed per block
+    f_blk = f_all.reshape((n_blocks, stride) + f_all.shape[1:])
+
+    def block(carry, x):
+        y, alive = carry
+        k, f_s = x
+        t0 = k.astype(jnp.float32) * dt_out
+        smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
+                                         params.plane, t0)
+        outs = []
+        for j in range(stride):
+            t = t0 + j * dt_out
+            wnds = fast.color_winds_given_f(cfg, smp.wind_stats, f_s[j])
+            rhs_fn = lambda tt, yy, w=wnds: fast.rhs_given_winds(
+                cfg, tt, yy, params, smp, w)
+            y_next, _ = _rk4_step(rhs_fn, t, y, dt_out)
+            outs.append((y.lon, y.lat, y.v, y.m, wnds, alive))
+            y = fast.State(*(jnp.where(alive, a, b)
+                             for a, b in zip(y_next, y)))
+            alive = alive & _events_alive(cfg, bounds, y)
+        out = tuple(jnp.stack(ch) for ch in zip(*outs))
+        return (y, alive), out
+
+    carry_end, outs = jax.lax.scan(block, (y0, alive0), (kb, f_blk))
+    # [n_blocks, stride, ...] -> [n_steps, ...]
+    outs = tuple(o.reshape((n_steps,) + o.shape[2:]) for o in outs)
     return outs, carry_end
 
 
