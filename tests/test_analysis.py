@@ -120,6 +120,18 @@ def test_track_density_and_lmi(ensemble):
     assert dens.sum() > 0
 
 
+def test_genesis_density(ensemble):
+    ens, _ = ensemble
+    h, lon_e, lat_e = analysis.genesis_density(ens, res_deg=5.0)
+    # exactly one genesis point per track with any valid sample
+    n_tracks = (np.isfinite(ens.lon).any(axis=-1)).sum()
+    assert h.sum() == n_tracks
+    # genesis points are a subset of track points: the density support
+    # must lie inside the track-density support on the same grid
+    ht, _, _ = analysis.track_density(ens, res_deg=5.0)
+    assert np.all(ht[h > 0] > 0)
+
+
 def test_bam_standalone_tracks():
     cfg = Namelist()
     pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)

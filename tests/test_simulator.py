@@ -149,8 +149,11 @@ def test_frozen_field_step_accuracy():
     """Default once-per-step field sampling vs exact per-stage sampling:
     trajectories agree far inside physical noise over the full 15 days."""
     pack, params, y0 = _setup_batch(n=4)
-    out_frozen = simulator.integrate(pack, CFG, 'GL', y0, params,
-                                     jnp.ones(4, bool))
+    # stride pinned to 1: this test bounds the once-per-STEP approximation
+    # alone (the strided generalization has its own bounds below)
+    out_frozen = simulator.integrate(
+        pack, CFG.replace(field_sample_stride=1), 'GL', y0, params,
+        jnp.ones(4, bool))
     out_exact = simulator.integrate(pack, CFG.replace(
         rk_exact_stage_fields=True), 'GL', y0, params, jnp.ones(4, bool))
     both = np.asarray(out_frozen.alive) & np.asarray(out_exact.alive)
@@ -181,8 +184,8 @@ def test_field_sample_stride_uniform_fields_exact():
         bathy=jnp.full_like(pack.bathy, -4000.0),
         basin_masks=jnp.ones_like(pack.basin_masks),
         run_mask=jnp.ones_like(pack.run_mask))
-    out1 = simulator.integrate(pack, CFG, 'GL', y0, params,
-                               jnp.ones(4, bool))
+    out1 = simulator.integrate(pack, CFG.replace(field_sample_stride=1),
+                               'GL', y0, params, jnp.ones(4, bool))
     for stride in (2, 3):
         outS = simulator.integrate(
             pack, CFG.replace(field_sample_stride=stride), 'GL', y0,
@@ -203,8 +206,8 @@ def test_field_sample_stride_accuracy():
     track spread (same bar as test_frozen_field_step_accuracy; staleness
     grows from <= 1 h to <= stride hours)."""
     pack, params, y0 = _setup_batch(n=4)
-    out1 = simulator.integrate(pack, CFG, 'GL', y0, params,
-                               jnp.ones(4, bool))
+    out1 = simulator.integrate(pack, CFG.replace(field_sample_stride=1),
+                               'GL', y0, params, jnp.ones(4, bool))
     for stride, lim_lon, lim_v in ((2, 1.0, 3.0), (3, 1.5, 4.5)):
         outS = simulator.integrate(
             pack, CFG.replace(field_sample_stride=stride), 'GL', y0,

@@ -189,6 +189,25 @@ def track_density(ens: TrackEnsemble, res_deg: float = 2.0,
     return h, lon_e, lat_e
 
 
+def genesis_density(ens: TrackEnsemble, res_deg: float = 2.0
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Genesis-point density (each track's first valid sample) on a
+    lat/lon grid — the "genesis locations" validation metric of Lin et
+    al. 2023 (README.md:2).  Returns (density [nlat, nlon], lon_edges,
+    lat_edges), same grid conventions as track_density."""
+    lon_e = np.arange(0.0, 360.0 + res_deg, res_deg)
+    lat_e = np.arange(-90.0, 90.0 + res_deg, res_deg)
+    valid = np.isfinite(ens.lon) & np.isfinite(ens.lat)
+    has = valid.any(axis=-1)
+    i0 = valid.argmax(axis=-1)
+    take = np.take_along_axis
+    lon0 = take(ens.lon, i0[..., None], axis=-1)[..., 0][has]
+    lat0 = take(ens.lat, i0[..., None], axis=-1)[..., 0][has]
+    h, _, _ = np.histogram2d(lat0.ravel(), (lon0 % 360.0).ravel(),
+                             bins=(lat_e, lon_e))
+    return h, lon_e, lat_e
+
+
 def lmi_distribution(ens: TrackEnsemble, bins: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Lifetime-maximum-intensity histogram (BASELINE.json parity metric).
