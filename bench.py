@@ -136,9 +136,13 @@ def main():
             'recompact': (list(cfg.recompact_schedule)
                           if cfg.recompact_schedule is not None
                           else [cfg.recompact_step, cfg.recompact_cap]),
+            'field_sample_stride': cfg.field_sample_stride,
             'units_note': ('storms/min counts proposed seeds (reference '
                            'rejection-loop iterations, bit-identical '
-                           'outputs to integrating all slots); see '
+                           'outputs to integrating all slots); fields '
+                           'sampled once per field_sample_stride steps '
+                           '(105k-seed chain parity at this default: '
+                           'docs/chain_parity.json); see '
                            'docs/performance.md'),
             'device': str(dev),
             'platform': dev.platform,

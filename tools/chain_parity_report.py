@@ -23,9 +23,10 @@ def main(argv=None):
     ap.add_argument('--ref-seeds', type=int, default=20000)
     ap.add_argument('--launches', type=int, default=6)
     ap.add_argument('--json', default=None)
-    ap.add_argument('--stride', type=int, default=1,
+    ap.add_argument('--stride', type=int, default=None,
                     help='field_sample_stride for the TPU-pipeline side '
-                         '(the reference chain is stride-independent)')
+                         '(default: the config default; the reference '
+                         'chain is stride-independent)')
     args = ap.parse_args(argv)
 
     import jax
@@ -39,7 +40,9 @@ def main(argv=None):
     from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
     from reference_chain import ReferenceChain
 
-    cfg = Namelist(seed_batch=8192).replace(field_sample_stride=args.stride)
+    cfg = Namelist(seed_batch=8192)
+    if args.stride is not None:
+        cfg = cfg.replace(field_sample_stride=args.stride)
     pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
 
     rc = ReferenceChain(pack, cfg, 'GL')

@@ -185,19 +185,24 @@ class Namelist:
     # (tests/test_simulator.py::test_frozen_field_step_accuracy).
     rk_exact_stage_fields: bool = False
     # gather environmental fields once per S output steps instead of every
-    # step (the next rung of the same ladder as the frozen-per-step default
+    # step (the next rung of the same ladder as the frozen-per-step mode
     # above): the integration scan runs in S-step blocks, sampling fields
     # at the block-start position and reusing them for all S steps; the
     # Fourier flow F(t), steering weights, ocean feedback, and the FAST
     # ODEs stay per-step exact.  The scan is ~99% gather-bound on TPU
-    # (docs/performance.md), so S=2 removes nearly half its cost.  Field
-    # staleness grows to <= S hours / ~S x 0.5 deg of storm motion against
-    # ~100 km field scales — trajectory deviation stays far below the
-    # stochastic track spread (tests/test_simulator.py::
-    # test_field_sample_stride_accuracy), but unlike the compaction knobs
-    # this is NOT bit-identical to stride 1.  1 = reference-parity default.
-    # Ignored when rk_exact_stage_fields or rk_substeps > 1.
-    field_sample_stride: int = 1
+    # (docs/performance.md), so S=3 removes two thirds of its cost
+    # (58.5 -> 79.1M storms/min measured).  Field staleness grows to
+    # <= S hours / ~S x 0.5 deg of storm motion against ~100 km field
+    # scales — consistent with the reference's own adaptive solver, which
+    # samples fields only at its RK45 step points (max_step=86400 s,
+    # intensity/coupled_fast.py:264-267).  The default 3 is validated by
+    # the 105k-seed whole-chain report (docs/chain_parity.json: every KS
+    # below its 1% critical) and bounded per-track by
+    # tests/test_simulator.py::test_field_sample_stride_accuracy; unlike
+    # the compaction knobs it is NOT bit-identical across stride values —
+    # set 1 for the tightest per-track solver agreement.  Ignored when
+    # rk_exact_stage_fields or rk_substeps > 1.
+    field_sample_stride: int = 3
     # freeze storm positions (intensity-only integration) — the reference's
     # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
     debug_fixed_position: bool = False
