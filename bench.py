@@ -13,8 +13,10 @@ What each emitted number counts (round-3 clarification):
   rejection loop (util/compute.py:134-210) — proposal, all seeding gates,
   and, for gate-passing seeds, the full 361-step integration + TC filters.
   Integrate-compaction means only gate-passing slots physically enter the
-  scan; outputs are bit-identical to integrating every slot (pinned by
-  tests), so a proposed seed is a completed unit of model work either way.
+  scan; trajectories and survivor verdicts are bit-identical to
+  integrating every slot (diagnostics to float32 ULP fusion noise; pinned
+  by tests), so a proposed seed is a completed unit of model work either
+  way.
 - detail.scan_rows_per_min: slot-steps actually integrated per minute
   (launch scan width x steps, summed over segments) — the raw integration
   throughput with no seeding-gate amplification.

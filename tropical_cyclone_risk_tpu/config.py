@@ -148,7 +148,8 @@ class Namelist:
     # the track (basin exit / |lat|<=2 / v<=4), so the tail of the scan
     # wastes most of its gather rows on frozen corpses.  Trajectories and
     # keep verdicts are exact (frozen-state segments compose exactly); the
-    # vmax diagnostic is pinned to float32 ULP/fusion noise (atol 1e-4,
+    # vmax diagnostic — and, at some strides, the recorded wnds output
+    # copy — are pinned to float32 ULP/fusion noise (atol 1e-4 / 2e-5,
     # tests/test_pipeline_stats.py::test_recompaction_identical).
     # None disables; auto-tuned together with integrate_cap from a small
     # pathfinder probe of the alive-decay curve when integrate_cap is None

@@ -415,12 +415,26 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
 
 
 def compact_survivors(body: dict, m: int, k_max: int,
-                      constrain=lambda a: a):
+                      constrain=lambda a: a, n_basins: int = 0):
     """Survivors first in slot order, truncated to k_max; returns the
     (tracks, meta) launch contract ([k_max, T] NaN-masked track buffers).
     m is the integration width (launch_width per device, summed over the
     mesh on the sharded path).  constrain: optional per-array sharding
-    constraint applied to the gathered tracks."""
+    constraint applied to the gathered tracks.
+
+    n_basins > 0 additionally precomputes the per-batch host decisions
+    INSIDE this (already-dispatched) program — every extra program
+    execution through this image's TPU relay costs ~40 ms regardless of
+    size (tools/bench_stages.py), so run_tracks_year reads these outputs
+    instead of dispatching _batch_scalars/_count_seeds_* per batch:
+      'scalars'  [4] int32: survivors, integrate-cap overflow, recompact
+                 overflow, dropped slots;
+      'spm_upto' [n_basins, 12]: seeds counted up to the k_max-th
+                 survivor's slot (the stopping rule for a batch whose
+                 accepted take equals its materialized k_max rows —
+                 garbage when fewer than k_max survive, which callers
+                 must guard by take == k_max);
+      'spm_all'  [n_basins, 12]: seeds counted over the whole batch."""
     seed, trk, tm = body['seed'], body['trk'], body['tm']
     keep = trk['keep']
     slot = jnp.arange(m)
@@ -466,6 +480,16 @@ def compact_survivors(body: dict, m: int, k_max: int,
             'month': constrain(seed['month']),
             'dropped': constrain(seed['dropped']),
             'overflow': constrain(body['overflow'])}
+    if n_basins:
+        over = meta['overflow'].reshape(-1, 2).sum(axis=0, dtype=jnp.int32)
+        meta['scalars'] = constrain(jnp.stack(
+            [meta['keep'].sum(dtype=jnp.int32), over[0], over[1],
+             meta['dropped'].sum(dtype=jnp.int32)]))
+        meta['spm_upto'] = constrain(_count_upto_body(
+            meta['keep'], meta['counted'], meta['basin_idx'],
+            meta['month'], k_max - 1, n_basins))
+        meta['spm_all'] = constrain(_count_all_body(
+            meta['counted'], meta['basin_idx'], meta['month'], n_basins))
     return tracks, meta
 
 
@@ -478,7 +502,8 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     (slot-ordered).  This function is the throughput benchmark unit.
     """
     body = launch_body(key, pack, cfg, basin_id, n, plane_offset)
-    return compact_survivors(body, launch_width(cfg, n), k_max)
+    return compact_survivors(body, launch_width(cfg, n), k_max,
+                             n_basins=len(cfg.basin_ids_sorted()))
 
 
 @jax.jit
@@ -492,8 +517,7 @@ def _batch_scalars(meta):
                       meta['dropped'].sum(dtype=jnp.int32)])
 
 
-@functools.partial(jax.jit, static_argnames=('n_basins',))
-def _count_seeds_all(counted, basin_idx, month, n_basins: int):
+def _count_all_body(counted, basin_idx, month, n_basins: int):
     """seeds_per_month [n_basins, 12] of a whole batch, on device (avoids
     fetching the [N] per-slot metadata through the slow host relay)."""
     idx = basin_idx * 12 + (month - 1)
@@ -502,14 +526,24 @@ def _count_seeds_all(counted, basin_idx, month, n_basins: int):
             .reshape(n_basins, 12))
 
 
-@functools.partial(jax.jit, static_argnames=('n_basins',))
-def _count_seeds_upto(keep, counted, basin_idx, month, j, n_basins: int):
+def _count_upto_body(keep, counted, basin_idx, month, j, n_basins: int):
     """seeds_per_month over slots up to (and including) the (j+1)-th
     survivor's slot — the reference's stopping rule applied on device."""
     cs = jnp.cumsum(keep.astype(jnp.int32))
     cutoff = jnp.argmax(cs == (j + 1))        # first slot reaching j+1
     in_prefix = jnp.arange(keep.shape[0]) <= cutoff
-    return _count_seeds_all(counted & in_prefix, basin_idx, month, n_basins)
+    return _count_all_body(counted & in_prefix, basin_idx, month, n_basins)
+
+
+# standalone dispatch wrappers: run_tracks_year's common cases read the
+# 'scalars'/'spm_upto'/'spm_all' outputs compact_survivors precomputes
+# inside the launch program (each extra dispatch costs ~40 ms through the
+# relay); these remain for the rare capped-mid-quota batch whose truncation
+# slot is only known on the host
+_count_seeds_all = functools.partial(jax.jit, static_argnames=('n_basins',))(
+    _count_all_body)
+_count_seeds_upto = functools.partial(jax.jit, static_argnames=('n_basins',))(
+    _count_upto_body)
 
 
 def _dispatch_batch(bkey, pack_y: FieldPack, cfg: Namelist, basin_id: str,
@@ -613,10 +647,14 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     plane_off = jnp.int32(cfg.start_month - 1)
 
     rows: List[dict] = []
-    # seed counting stays on device (the [N] per-slot metadata never crosses
-    # the slow host relay): whole batches accumulate via _count_seeds_all;
-    # the quota-filling batch is truncated at the final survivor's slot on
-    # device (_count_seeds_upto) — the reference's stopping rule
+    # seed counting stays on device (the [N] per-slot metadata never
+    # crosses the slow host relay), and the per-batch decisions (survivor
+    # scalars, whole-batch and stopping-rule-truncated seeds_per_month)
+    # are precomputed INSIDE the launch program (compact_survivors
+    # n_basins>0): reading outputs of the already-dispatched program is
+    # ~free, while every extra program execution through the relay costs
+    # ~40 ms — this took the unpipelined year loop from 0.235 to the
+    # launch-bound floor
     n_seeds = np.zeros((n_basins, 12))
     n_dropped = 0
     n_proposed = 0
@@ -629,7 +667,7 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
                 k_max, plane_off, mesh)
         n_new, n_over1, n_over2, n_drop = (
-            int(x) for x in np.asarray(_batch_scalars(meta)))
+            int(x) for x in np.asarray(meta['scalars']))
         n_proposed += N
         n_dropped += n_drop
         if n_over1 + n_over2 > 0:
@@ -652,7 +690,7 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)
-            n_new = int(np.asarray(_batch_scalars(meta))[0])
+            n_new = int(np.asarray(meta['scalars'])[0])
             cfg = bump_caps(cfg, n_over1, n_over2, N)
             k_max = min(n_tracks, launch_width(cfg, N))
             if adapt is not None:
@@ -671,29 +709,34 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
         # first_batch dispatched before an adaptive cap bump can carry a
         # smaller k_max than the re-tuned cfg implies — slicing past its
         # rows would silently under-append while `got` overcounts
-        take = min(n_new, n_tracks - got, k_max,
-                   int(tracks['lon'].shape[0]))
+        bk_max = int(tracks['lon'].shape[0])    # this batch's materialized
+        take = min(n_new, n_tracks - got, k_max, bk_max)
+
+        def spm_upto(j):
+            # precomputed inside the launch for j == bk_max - 1 (the
+            # common full-quota batch); other truncation slots need a
+            # dispatch (~40 ms, rare: quota partially filled then capped)
+            if j == bk_max - 1:
+                return np.asarray(meta['spm_upto'])
+            return np.asarray(_count_seeds_upto(
+                meta['keep'], meta['counted'], meta['basin_idx'],
+                meta['month'], jnp.int32(j), n_basins))
+
         if take > 0:
             host = jax.device_get({k: v[:take] for k, v in tracks.items()})
             rows.append(host)
             got += take
         if got >= n_tracks:
-            n_seeds += np.asarray(_count_seeds_upto(
-                meta['keep'], meta['counted'], meta['basin_idx'],
-                meta['month'], jnp.int32(take - 1), n_basins))
+            n_seeds += spm_upto(take - 1)
             break
         if 0 < take < n_new:
             # capped by k_max with quota still open: the discarded
             # survivors are re-drawn from the next batch, so seeds after
             # the last ACCEPTED survivor's slot must not count either
             # (they are statistically replaced by the next batch's stream)
-            n_seeds += np.asarray(_count_seeds_upto(
-                meta['keep'], meta['counted'], meta['basin_idx'],
-                meta['month'], jnp.int32(take - 1), n_basins))
+            n_seeds += spm_upto(take - 1)
         else:
-            n_seeds += np.asarray(_count_seeds_all(
-                meta['counted'], meta['basin_idx'], meta['month'],
-                n_basins))
+            n_seeds += np.asarray(meta['spm_all'])
     else:
         raise RuntimeError(
             f'track quota not reached after {max_batches} batches '

@@ -94,7 +94,9 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         # survivor compaction (slot order): the only cross-chip step
         rep = NamedSharding(mesh, P())
         constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
-        return pipeline.compact_survivors(body, m_total, k_max, constrain)
+        return pipeline.compact_survivors(
+            body, m_total, k_max, constrain,
+            n_basins=len(cfg.basin_ids_sorted()))
 
     rep = NamedSharding(mesh, P())
     return jax.jit(launch, in_shardings=(rep, rep, rep))
