@@ -95,3 +95,64 @@ def test_seeding_distribution_parity():
     ref_rate = ref_integ.mean()
     got_rate = integrate[counted].mean()
     assert abs(ref_rate - got_rate) < 0.05, (ref_rate, got_rate)
+
+
+def _prop_fields(p):
+    return {f: np.asarray(getattr(p, f)) for f in p._fields}
+
+
+def test_retry_compaction_bit_identical():
+    """With widths covering every round's unresolved population, the
+    retry-compacted seeder is BIT-identical to the full-width one (same
+    draws, same tests; only dead-slot gathers are skipped)."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(7)
+    full = _prop_fields(seeding.propose_seeds(key, pack, CFG, 'GL', 8192))
+    # generous geometric schedule (unresolved decays >= 2x/round)
+    caps = tuple(max(1.0 / 16, 0.75 * 0.5 ** r) for r in range(15))
+    cfg_c = CFG.replace(seed_retry_caps=caps)
+    comp = _prop_fields(seeding.propose_seeds(key, pack, cfg_c, 'GL', 8192))
+    assert not full['dropped'].any()        # widths covered everything
+    for f in full:
+        np.testing.assert_array_equal(comp[f], full[f], err_msg=f)
+
+
+def test_retry_compaction_overflow_drops():
+    """Slots evicted from the active set by an undersized width are dropped
+    (uniform thinning, visible in the drop counter); every slot that stays
+    resolves identically to the full-width path."""
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(8)
+    n = 8192
+    full = _prop_fields(seeding.propose_seeds(key, pack, CFG, 'GL', n))
+    cfg_t = CFG.replace(seed_retry_caps=(1.0 / 32,) * 15)   # 256 slots/round
+    tiny = _prop_fields(seeding.propose_seeds(key, pack, cfg_t, 'GL', n))
+    # capped drops are a superset of the full path's, and strictly more here
+    assert (tiny['dropped'] & ~full['dropped']).sum() > 0
+    assert not (full['dropped'] & ~tiny['dropped']).any()
+    keep = ~tiny['dropped']
+    for f in full:
+        np.testing.assert_array_equal(tiny[f][keep], full[f][keep],
+                                      err_msg=f)
+    # dropped slots never count nor integrate
+    assert not tiny['counted'][tiny['dropped']].any()
+    assert not tiny['integrate'][tiny['dropped']].any()
+
+
+def test_auto_seed_retry_caps():
+    """The probe-derived schedule is non-increasing, engages on this
+    environment, and reproduces the full-width proposals exactly."""
+    from tropical_cyclone_risk_tpu.models import pipeline
+
+    pack = synthetic_pack(CFG, n_planes=12, nlat=91, nlon=180, seed=0)
+    cfg = pipeline.auto_seed_retry_caps(jax.random.key(3), pack, CFG, 'GL')
+    assert cfg.seed_retry_caps is not None
+    caps = cfg.seed_retry_caps
+    assert len(caps) == seeding.N_RETRY_ROUNDS - 1
+    assert all(b <= a for a, b in zip(caps, caps[1:]))
+    assert sum(caps) < 0.9 * len(caps)
+    key = jax.random.key(9)
+    full = _prop_fields(seeding.propose_seeds(key, pack, CFG, 'GL', 8192))
+    comp = _prop_fields(seeding.propose_seeds(key, pack, cfg, 'GL', 8192))
+    for f in full:
+        np.testing.assert_array_equal(comp[f], full[f], err_msg=f)

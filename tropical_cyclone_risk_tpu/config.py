@@ -167,6 +167,20 @@ class Namelist:
     # Same exactness contract and overflow fallback as the single
     # boundary.  Auto-built by pipeline.auto_integrate_cap.
     recompact_schedule: Optional[Tuple[Tuple[int, float], ...]] = None
+    # seeding retry-round compaction (round 3): per-retry-round gather
+    # widths as fractions of the proposal batch (round 1..R-1 of
+    # models/seeding.propose_seeds; round 0 always runs full width).  The
+    # unresolved population decays geometrically (ocean-mask pass rate
+    # >= 0.5/round), so compacting the still-unresolved slots each round
+    # cuts the seeding mask-gather volume from R*n rows to ~(1+sum)*n with
+    # BIT-IDENTICAL proposals whenever every unresolved slot fits its
+    # round's width.  An unresolved slot beyond a width is dropped (the
+    # same uniform thinning as exhausting all rounds; visible in the
+    # exported drop counter).  None (default): full width every round for
+    # direct calls; the runtime measures the decay curve at run start and
+    # fills this in automatically (pipeline.auto_seed_retry_caps, margin
+    # 1.25 + 1/128 over the probed curve, 1/64 bucket floor).
+    seed_retry_caps: Optional[Tuple[float, ...]] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of

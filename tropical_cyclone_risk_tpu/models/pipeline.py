@@ -66,10 +66,47 @@ def launch_width(cfg: Namelist, n: int) -> int:
     return _round256(n * cfg.integrate_cap, 256, n)
 
 
-# auto_integrate_cap chooses among these (coarse on purpose: every distinct
-# width is a separate XLA program, and the remote-compile latency of this
-# image is minutes — sixteenths balance gather savings vs compile reuse)
-INTEGRATE_CAP_BUCKETS = tuple(i / 16.0 for i in range(2, 17))
+# auto_integrate_cap chooses among these.  1/64 granularity (round 3; was
+# sixteenths): the scan cost is row-proportional, so cap slack is pure
+# waste — on the bench environment the finer grid plus denser boundary
+# candidates cut scan rows ~15%.  Any tuned (cap, schedule) is its own XLA
+# program regardless of grid, so the compile-reuse argument for coarse
+# buckets only covered reruns on the same environment — which the
+# persistent compile cache already serves; probe noise can flip a 1/64
+# bucket between runs (occasional recompile), accepted for the row win.
+INTEGRATE_CAP_BUCKETS = tuple(i / 64.0 for i in range(2, 65))
+
+
+def auto_seed_retry_caps(key, pack: FieldPack, cfg: Namelist, basin_id: str,
+                         margin: float = 1.25) -> Namelist:
+    """Resolve seed_retry_caps=None by probing the retry decay curve.
+
+    One small full-width seeding pass measures how many slots are still
+    unresolved after each proposal round (seeding.retry_unresolved_curve;
+    the curve is a property of the static run mask x basin bounds, so one
+    probe per run suffices).  Each retry round's width is then the probed
+    unresolved fraction entering it, with `margin` multiplicative + 1/128
+    additive headroom against binomial probe noise, snapped UP to 1/64
+    buckets (floor 1/64: at the default 131072-seed batch that is 2048
+    slots/round against an expected tail of a handful).  Caps are clamped
+    non-increasing; the schedule only engages when it actually removes
+    >= 10% of the retry gather rows."""
+    if cfg.seed_retry_caps is not None:
+        return cfg
+    n_p = min(cfg.seed_batch, 8192)
+    counts = np.asarray(seeding.retry_unresolved_curve(
+        jax.random.fold_in(key, 0x5eed), pack, cfg, basin_id, n_p))
+    R = seeding.N_RETRY_ROUNDS
+    caps = []
+    prev = 1.0
+    for r in range(1, R):
+        frac = float(counts[r - 1]) / n_p      # unresolved entering round r
+        cap = -(-(frac * margin + 1.0 / 128) * 64 // 1) / 64.0   # ceil 1/64
+        caps.append(min(prev, max(1.0 / 64, cap)))
+        prev = caps[-1]
+    if sum(caps) <= 0.9 * (R - 1):
+        cfg = cfg.replace(seed_retry_caps=tuple(caps))
+    return cfg
 
 
 def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
@@ -88,6 +125,10 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     if cfg.integrate_cap is not None:
         return cfg
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    # retry-compaction widths first, so the integrate-fraction probes below
+    # (full seed_batch proposals) already run with compacted retry rounds
+    cfg = auto_seed_retry_caps(
+        key, fields_mod.slice_pack_year(pack, cfg, 0), cfg, basin_id)
     n_years = max(1, cfg.n_months // 12)
     fracs = []
     for yi in sorted({0, n_years - 1}):
@@ -120,12 +161,10 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         curve = counts / float(launch_width(cfg, n_p))
         T = cfg.n_steps_output
         steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
-        # boundary candidates as fractions of the scan length, clamped
-        # above the 2-day filter window so the first segment always
-        # contains the v_2d sample
-        cands = sorted({int(f * T) for f in
-                        (1 / 6, 0.25, 1 / 3, 5 / 12, 0.5, 7 / 12, 2 / 3,
-                         3 / 4, 5 / 6)})
+        # boundary candidates every 30 output steps (snapped to stride
+        # multiples by seg_schedule), clamped above the 2-day filter
+        # window so the first segment always contains the v_2d sample
+        cands = list(range(30, T - 1, 30))
         sched = []
         prev_cap = 1.0
         for T1 in cands:

@@ -38,8 +38,38 @@ from tropical_cyclone_risk_tpu.utils import basins
 # (tools: /tmp passrate study, synthetic 1-deg env), so 16 rounds leave a
 # drop probability < 5e-6 per slot (< 1 slot per 131072-seed launch).  The
 # rejection gathers are the dominant per-launch fixed cost, so rounds are
-# kept to the statistical minimum.
+# kept to the statistical minimum — and, when ``cfg.seed_retry_caps`` is
+# set, the retry rounds additionally compact the still-unresolved slots
+# (see propose_seeds) so the gather volume tracks the geometric decay of
+# the unresolved population instead of paying full batch width each round.
 N_RETRY_ROUNDS = 16
+
+
+def _round256(w: float, lo: int, hi: int) -> int:
+    w = int(-(-int(w) // 256) * 256)
+    return min(hi, max(lo, w))
+
+
+def _position_rounds(k_lon, k_lat0, k_latr, b, n):
+    """The R rounds of position proposals ([R, n] lon/lat): round 0
+    area-weighted over the genesis belt, retries uniform over the basin
+    bounds — an exact replication of the reference's redraw distribution
+    (util/compute.py:136-148).  Shared by propose_seeds and the
+    retry-decay probe so the probe measures the real proposal stream."""
+    R = N_RETRY_ROUNDS
+    lon_r = jax.random.uniform(k_lon, (R, n), minval=b[0], maxval=b[2])
+    # round 0: area-weighted latitude over the genesis belt
+    # genesis belt [3, 45] per hemisphere (sign(0) >= 0 in the reference)
+    lat_min = 3.0 if b[1] >= 0 else -45.0
+    lat_max = 45.0 if b[3] >= 0 else -3.0
+    y = jax.random.uniform(k_lat0, (n,),
+                           minval=jnp.sin(jnp.deg2rad(lat_min)),
+                           maxval=jnp.sin(jnp.deg2rad(lat_max)))
+    lat0 = jnp.rad2deg(jnp.arcsin(y))
+    # retry rounds: uniform over the full basin latitude bounds
+    lat_r = jax.random.uniform(k_latr, (R, n), minval=b[1], maxval=b[3])
+    lat_r = lat_r.at[0].set(lat0)
+    return lon_r, lat_r
 
 
 class SeedProposal(NamedTuple):
@@ -70,30 +100,60 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
 
     # --- position proposal rounds (util/compute.py:136-148) ---
     R = N_RETRY_ROUNDS
-    lon_r = jax.random.uniform(k_lon, (R, n), minval=b[0], maxval=b[2])
-    # round 0: area-weighted latitude over the genesis belt
-    # genesis belt [3, 45] per hemisphere (sign(0) >= 0 in the reference)
-    lat_min = 3.0 if b[1] >= 0 else -45.0
-    lat_max = 45.0 if b[3] >= 0 else -3.0
-    y = jax.random.uniform(k_lat0, (n,),
-                           minval=jnp.sin(jnp.deg2rad(lat_min)),
-                           maxval=jnp.sin(jnp.deg2rad(lat_max)))
-    lat0 = jnp.rad2deg(jnp.arcsin(y))
-    # retry rounds: uniform over the full basin latitude bounds
-    lat_r = jax.random.uniform(k_latr, (R, n), minval=b[1], maxval=b[3])
-    lat_r = lat_r.at[0].set(lat0)
+    lon_r, lat_r = _position_rounds(k_lon, k_lat0, k_latr, b, n)
 
     # corner-packed mask: ONE gather row per (round, slot) lookup instead of
     # four (the gather is row-rate-bound; this pack is a few-MB trace-time
     # constant folded out of the launch's hot cost)
     run_mask4 = interp.pack_corners(pack.run_mask[..., None])
-    mask_val = interp.bilinear_packed(run_mask4, pack.mask_grid,
-                                      lon_r.ravel(), lat_r.ravel()
-                                      )[..., 0].reshape(R, n)
-    passes = mask_val >= 1e-2
-    first = jnp.argmax(passes, axis=0)                 # first passing round
-    any_pass = jnp.any(passes, axis=0)
-    take = lambda a: jnp.take_along_axis(a, first[None, :], axis=0)[0]
+    mval = lambda lo, la: interp.bilinear_packed(
+        run_mask4, pack.mask_grid, lo, la)[..., 0]
+    caps = cfg.seed_retry_caps
+    if caps is None:
+        mask_val = mval(lon_r.ravel(), lat_r.ravel()).reshape(R, n)
+        passes = mask_val >= 1e-2
+        first = jnp.argmax(passes, axis=0)             # first passing round
+        any_pass = jnp.any(passes, axis=0)
+    else:
+        # --- retry-round compaction: the gather width tracks the decay of
+        # the unresolved population.  Round 0 tests every slot; each retry
+        # round r then compacts the still-unresolved slots (slot-stable,
+        # the integrate-compaction idiom) to width ~ caps[r-1] * n and
+        # gathers only those, so total mask-gather rows drop from R*n to
+        # ~(1 + sum(caps)) * n (the unresolved population decays
+        # geometrically at >= 2x/round; caps come from a measured decay
+        # probe, pipeline.auto_seed_retry_caps).  When every unresolved
+        # slot fits its round's width — the tuned steady state — the
+        # result is BIT-IDENTICAL to the full-width path (same draws,
+        # same tests, only dead-slot gathers skipped).  An unresolved slot
+        # beyond a round's width leaves the active set permanently and
+        # ends up dropped: statistically this is the same uniform thinning
+        # as exhausting all R rounds (the drop depends only on the slot's
+        # own earlier misses and its slot index, never on the position it
+        # would have accepted), and it shows up in the exported drop
+        # counter that production runs already observe.
+        pass0 = mval(lon_r[0], lat_r[0]) >= 1e-2
+        first = jnp.where(pass0, 0, R).astype(jnp.int32)
+        ur = ~pass0                 # unresolved, on the current active axis
+        a_idx = None                # active axis -> original slot
+        cur_w = n
+        for r in range(1, R):
+            cap = float(caps[min(r - 1, len(caps) - 1)])
+            w = _round256(n * cap, 256, cur_w)
+            idx = jnp.arange(cur_w)
+            order = jnp.argsort(jnp.where(ur, idx, idx + cur_w))[:w]
+            a_idx = order if a_idx is None else jnp.take(a_idx, order)
+            active = jnp.take(ur, order)
+            val = mval(jnp.take(lon_r[r], a_idx), jnp.take(lat_r[r], a_idx))
+            pass_c = active & (val >= 1e-2)
+            first = first.at[a_idx].min(jnp.where(pass_c, r, R))
+            ur = active & ~pass_c
+            cur_w = w
+        any_pass = first < R
+    # dropped slots read their round-0 position (same as the argmax path's
+    # argmax-of-all-False = 0), keeping the two paths bit-identical
+    first_idx = jnp.where(any_pass, jnp.minimum(first, R - 1), 0)
+    take = lambda a: jnp.take_along_axis(a, first_idx[None, :], axis=0)[0]
     lon = take(lon_r)
     lat = take(lat_r)
 
@@ -139,6 +199,26 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
                         integrate, ~any_pass, v_init.astype(jnp.float32),
                         m_init.astype(jnp.float32), h_bl,
                         plane.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n'))
+def retry_unresolved_curve(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
+                           basin_id: str, n: int) -> jnp.ndarray:
+    """[R] int32: slots still unresolved AFTER each proposal round of a
+    full-width seeding pass — the decay curve auto_seed_retry_caps sizes
+    the retry-compaction widths from.  Draws the exact proposal stream
+    propose_seeds draws (same key splits), so the measured curve is the
+    real one; the curve is a property of the (static) run mask x basin
+    bounds, so one probe per run suffices."""
+    b = basins.basin_bounds(cfg, basin_id)
+    k_lon, k_lat0, k_latr, *_ = jax.random.split(key, 6)
+    lon_r, lat_r = _position_rounds(k_lon, k_lat0, k_latr, b, n)
+    run_mask4 = interp.pack_corners(pack.run_mask[..., None])
+    mask_val = interp.bilinear_packed(run_mask4, pack.mask_grid,
+                                      lon_r.ravel(), lat_r.ravel()
+                                      )[..., 0].reshape(N_RETRY_ROUNDS, n)
+    miss = (mask_val < 1e-2).astype(jnp.int32)
+    return jnp.cumprod(miss, axis=0).sum(axis=1, dtype=jnp.int32)
 
 
 def initial_state(prop: SeedProposal) -> State:
