@@ -174,7 +174,12 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
             # wider margin than the two-endpoint integrate-fraction probe
             frac2 = min(1.0, float(curve[T1]) * 1.15 + 1.0 / 64.0)
             cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= frac2)
-            if cap2 < prev_cap:
+            # join only when the cut saves a material share of the scan
+            # (>= 0.5% of an uncapped scan's rows): every segment is a
+            # separate scan in the XLA program, so near-no-op boundaries
+            # cost compile time (minutes through the remote-compile relay)
+            # for nothing
+            if cap2 < prev_cap and (prev_cap - cap2) * (T - T1) >= 0.005 * T:
                 sched.append((T1, cap2))
                 prev_cap = cap2
         if sched:
