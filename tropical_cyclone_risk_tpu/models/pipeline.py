@@ -710,8 +710,14 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
                 k_max, plane_off, mesh)
-        n_new, n_over1, n_over2, n_drop = (
-            int(x) for x in np.asarray(meta['scalars']))
+        # ONE host fetch for every per-batch decision: each device_get
+        # round trip through the relay costs ~28 ms even for scalars, so
+        # the stopping-rule tables ride along with the scalars instead of
+        # being fetched separately later (spm_upto/spm_all are n_basins x
+        # 12 int32 — bytes are free, round trips are not)
+        dec = jax.device_get((meta['scalars'], meta['spm_upto'],
+                              meta['spm_all']))
+        n_new, n_over1, n_over2, n_drop = (int(x) for x in dec[0])
         n_proposed += N
         n_dropped += n_drop
         if n_over1 + n_over2 > 0:
@@ -734,7 +740,9 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = _dispatch_batch(
                 jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
                 min(n_tracks, N), plane_off, mesh)
-            n_new = int(np.asarray(meta['scalars'])[0])
+            dec = jax.device_get((meta['scalars'], meta['spm_upto'],
+                                  meta['spm_all']))
+            n_new = int(dec[0][0])
             cfg = bump_caps(cfg, n_over1, n_over2, N)
             k_max = min(n_tracks, launch_width(cfg, N))
             if adapt is not None:
@@ -761,7 +769,7 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             # common full-quota batch); other truncation slots need a
             # dispatch (~40 ms, rare: quota partially filled then capped)
             if j == bk_max - 1:
-                return np.asarray(meta['spm_upto'])
+                return np.asarray(dec[1])
             return np.asarray(_count_seeds_upto(
                 meta['keep'], meta['counted'], meta['basin_idx'],
                 meta['month'], jnp.int32(j), n_basins))
@@ -780,7 +788,7 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             # (they are statistically replaced by the next batch's stream)
             n_seeds += spm_upto(take - 1)
         else:
-            n_seeds += np.asarray(meta['spm_all'])
+            n_seeds += np.asarray(dec[2])
     else:
         raise RuntimeError(
             f'track quota not reached after {max_batches} batches '
