@@ -572,3 +572,34 @@ def test_seed_drop_counter():
                                   n_tracks=2)
     assert yt.n_proposed >= 2048
     assert 0 <= yt.n_dropped < 0.001 * yt.n_proposed
+
+
+def test_single_fetch_per_batch(monkeypatch):
+    """The steady-state year loop is one launch program + exactly two host
+    fetches per batch (the combined decision read and the survivor-track
+    rows) — every per-batch decision rides the launch program itself
+    (docs/performance.md 'in-launch decision fold': each extra program or
+    device_get round trip through the TPU relay costs ~28-40 ms, which
+    would dominate the 0.148 s/simulated-year production rate)."""
+    cfg = Namelist(seed_batch=4096)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(9)
+    # warm every compile first so the counted run is pure steady state
+    pipeline.run_tracks_year(key, pack, cfg, 'GL', 0, n_tracks=3)
+
+    real_get = jax.device_get
+    calls = []
+    monkeypatch.setattr(jax, 'device_get',
+                        lambda tree: calls.append(1) or real_get(tree))
+
+    def boom(*a, **k):    # the dynamic-truncation count is a THIRD program
+        raise AssertionError('_count_seeds_upto dispatched on the common '
+                             'full-quota path')
+    monkeypatch.setattr(pipeline, '_count_seeds_upto', boom)
+
+    # quota (3) < survivors in batch 0 (>= 5, pinned by
+    # test_survivor_cap_stopping_rule) -> one batch, take == bk_max, so the
+    # truncated seeds-per-month table must come from the in-launch output
+    yt = pipeline.run_tracks_year(key, pack, cfg, 'GL', 0, n_tracks=3)
+    assert yt.lon.shape[0] == 3
+    assert len(calls) == 2, f'expected 2 host fetches per batch, saw {calls}'
