@@ -685,9 +685,19 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     k_max = min(n_tracks, launch_width(cfg, N))
 
     # one compiled launch shape for every year of every run: slice the pack
-    # to this year's 12 calendar-month planes (fields.slice_pack_year)
+    # to this year's 12 calendar-month planes (fields.slice_pack_year) —
+    # lazily, because in the steady state the prefetched first batch fills
+    # the whole quota and the year-sliced pack is never needed here (the
+    # slice enqueues two device gathers per year on the dispatch-latency-
+    # bound relay path for nothing)
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
-    pack = fields_mod.slice_pack_year(pack, cfg, year_idx)
+    pack_y = [None]
+
+    def get_pack_y():
+        if pack_y[0] is None:
+            pack_y[0] = fields_mod.slice_pack_year(pack, cfg, year_idx)
+        return pack_y[0]
+
     plane_off = jnp.int32(cfg.start_month - 1)
 
     rows: List[dict] = []
@@ -708,8 +718,8 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             tracks, meta = first_batch
         else:
             tracks, meta = _dispatch_batch(
-                jax.random.fold_in(key, b_i), pack, cfg, basin_id, N,
-                k_max, plane_off, mesh)
+                jax.random.fold_in(key, b_i), get_pack_y(), cfg, basin_id,
+                N, k_max, plane_off, mesh)
         # ONE host fetch for every per-batch decision: each device_get
         # round trip through the relay costs ~28 ms even for scalars, so
         # the stopping-rule tables ride along with the scalars instead of
@@ -738,8 +748,8 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                                    recompact_cap=None,
                                    recompact_schedule=None)
             tracks, meta = _dispatch_batch(
-                jax.random.fold_in(key, b_i), pack, cfg_full, basin_id, N,
-                min(n_tracks, N), plane_off, mesh)
+                jax.random.fold_in(key, b_i), get_pack_y(), cfg_full,
+                basin_id, N, min(n_tracks, N), plane_off, mesh)
             dec = jax.device_get((meta['scalars'], meta['spm_upto'],
                                   meta['spm_all']))
             n_new = int(dec[0][0])
