@@ -142,7 +142,6 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     target = min(1.0, max(fracs) * margin + 1.0 / 64.0)
     cap = next(b for b in INTEGRATE_CAP_BUCKETS if b >= target)
     cfg = cfg.replace(integrate_cap=cap)
-    pack_y0 = fields_mod.slice_pack_year(pack, cfg, 0)
 
     if (cfg.recompact_step is None and cfg.recompact_cap is None
             and cfg.recompact_schedule is None):
@@ -154,10 +153,19 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         # schedule: every candidate boundary whose cap bucket shrinks the
         # width joins the schedule (measured ~25-35% fewer rows than the
         # best single cut on the bench environment, docs/performance.md).
+        # Probed at BOTH endpoint years (elementwise max), like the
+        # integrate-fraction probe above: bounding monotone climate drift
+        # directly lets the margin drop 1.15 -> 1.08, which typically
+        # shaves every boundary one 1/64 cap bucket (scan cost is
+        # row-proportional; the uncapped fallback + bump_caps re-tune
+        # still guard any non-monotone straggler batch).
         n_p = min(cfg.seed_batch, 8192)
-        counts = np.asarray(_alive_curve_probe(
-            jax.random.fold_in(key, 0x9e3779), pack_y0, cfg, basin_id,
-            n_p))
+        counts = np.zeros((cfg.n_steps_output,), np.int64)
+        for yi in sorted({0, n_years - 1}):
+            counts = np.maximum(counts, np.asarray(_alive_curve_probe(
+                jax.random.fold_in(key, 0x9e3779 + yi),
+                fields_mod.slice_pack_year(pack, cfg, yi), cfg, basin_id,
+                n_p)))
         curve = counts / float(launch_width(cfg, n_p))
         T = cfg.n_steps_output
         steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
@@ -170,9 +178,7 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         for T1 in cands:
             if not (steps_2d < T1 < T - 1):
                 continue
-            # the alive-decay curve is probed on year 0 only, so keep a
-            # wider margin than the two-endpoint integrate-fraction probe
-            frac2 = min(1.0, float(curve[T1]) * 1.15 + 1.0 / 64.0)
+            frac2 = min(1.0, float(curve[T1]) * 1.08 + 1.0 / 64.0)
             cap2 = next(b for b in INTEGRATE_CAP_BUCKETS if b >= frac2)
             # join only when the cut saves a material share of the scan
             # (>= 0.5% of an uncapped scan's rows): every segment is a
