@@ -603,3 +603,41 @@ def test_single_fetch_per_batch(monkeypatch):
     yt = pipeline.run_tracks_year(key, pack, cfg, 'GL', 0, n_tracks=3)
     assert yt.lon.shape[0] == 3
     assert len(calls) == 2, f'expected 2 host fetches per batch, saw {calls}'
+
+
+def test_alive_probe_covers_decay_drift(monkeypatch):
+    """The recompaction-schedule pathfinder probes the alive-decay curve at
+    BOTH endpoint years and sizes every boundary off the elementwise max —
+    a climate trend that makes late-period storms live longer must widen
+    the schedule, not overflow it (pipeline.auto_integrate_cap)."""
+    cfg2 = Namelist(seed_batch=4096).replace(start_year=2016, end_year=2017)
+    pack = synthetic_pack(cfg2, n_planes=24, nlat=91, nlon=180, seed=0)
+    from tropical_cyclone_risk_tpu.models import fields as F
+    env = np.array(pack.env)
+    env[12:, ..., F.VPOT] = np.where(env[12:, ..., F.VPOT] > 0.0,
+                                     np.maximum(env[12:, ..., F.VPOT], 200.0),
+                                     env[12:, ..., F.VPOT])
+    pack_hi = pack._replace(env=jnp.asarray(env))
+
+    seen = []
+
+    def fake_probe(key, pack_y, cfg_, basin_id, n):
+        # identify the probed year by its (boosted) vpot planes; year 0 is
+        # the flat environment, year 1 carries the long-lived storms
+        hi = float(jnp.max(pack_y.env[..., F.VPOT])) >= 150.0
+        seen.append(hi)
+        w = pipeline.launch_width(cfg_, n)
+        frac = 0.6 if hi else 0.05
+        t = np.arange(cfg_.n_steps_output, dtype=np.float64)
+        curve = frac * w * np.clip(1.0 - t / cfg_.n_steps_output, 0.0, 1.0)
+        return jnp.asarray(np.round(curve).astype(np.int32))
+
+    monkeypatch.setattr(pipeline, '_alive_curve_probe', fake_probe)
+    tuned = pipeline.auto_integrate_cap(jax.random.key(3), pack_hi, cfg2,
+                                        'GL')
+    assert sorted(seen) == [False, True]       # both endpoint years probed
+    assert tuned.recompact_schedule            # drift curve still schedules
+    T = cfg2.n_steps_output
+    for T1, cap in tuned.recompact_schedule:
+        # every boundary cap must cover the HIGH year's alive fraction
+        assert cap >= 0.6 * (1.0 - T1 / T)
