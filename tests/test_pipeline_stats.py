@@ -641,3 +641,38 @@ def test_alive_probe_covers_decay_drift(monkeypatch):
     for T1, cap in tuned.recompact_schedule:
         # every boundary cap must cover the HIGH year's alive fraction
         assert cap >= 0.6 * (1.0 - T1 / T)
+
+
+def test_fused_batches_identical():
+    """_simulate_batches (K launches scanned inside one program, the
+    dispatch-amortizing variant) is bit-identical per batch to K separate
+    _simulate_batch calls with the same keys."""
+    cfg = Namelist(seed_batch=2048).replace(
+        integrate_cap=0.375, recompact_schedule=((90, 0.25), (180, 0.125)))
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    K = 2
+    keys = jax.random.split(jax.random.key(7), K)
+    ftr, fme = pipeline._simulate_batches(keys, pack, cfg, 'GL', 2048, 16,
+                                          jnp.int32(0))
+    for k in range(K):
+        tr, me = pipeline._simulate_batch(keys[k], pack, cfg, 'GL', 2048,
+                                          16, jnp.int32(0))
+        for name, a in tr.items():
+            a, b = np.asarray(a), np.asarray(ftr[name][k])
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=name)
+            if name in ('vmax', 'wnds'):     # fusion-noise-tolerant, like
+                # the segmented-launch identity pins
+                np.testing.assert_allclose(np.nan_to_num(a),
+                                           np.nan_to_num(b), atol=1e-4,
+                                           err_msg=name)
+            else:
+                np.testing.assert_array_equal(np.nan_to_num(a),
+                                              np.nan_to_num(b),
+                                              err_msg=name)
+        np.testing.assert_array_equal(np.asarray(me['scalars']),
+                                      np.asarray(fme['scalars'][k]))
+        np.testing.assert_array_equal(np.asarray(me['spm_all']),
+                                      np.asarray(fme['spm_all'][k]))
+        np.testing.assert_array_equal(np.asarray(me['spm_upto']),
+                                      np.asarray(fme['spm_upto'][k]))

@@ -22,7 +22,6 @@ sys.path.insert(0, _ROOT)
 
 import jax
 import _tpu_cache  # noqa: F401
-import functools
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,19 +30,7 @@ from tropical_cyclone_risk_tpu.models import pipeline
 from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
 
 N = 131072
-
-
-@functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
-def simulate_fused(keys, pack, cfg, basin_id, n, k_max, plane_offset):
-    n_basins = len(cfg.basin_ids_sorted())
-
-    def body(_, key):
-        b = pipeline.launch_body(key, pack, cfg, basin_id, n, plane_offset)
-        return None, pipeline.compact_survivors(
-            b, pipeline.launch_width(cfg, n), k_max, n_basins=n_basins)
-
-    _, out = jax.lax.scan(body, None, keys)
-    return out
+simulate_fused = pipeline._simulate_batches
 
 
 def main():

@@ -556,6 +556,29 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
                              n_basins=len(cfg.basin_ids_sorted()))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
+def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
+                      n: int, k_max: int, plane_offset):
+    """K proposal batches fused into ONE device program (lax.scan over the
+    per-batch keys [K]): every scan width stays identical to a single
+    launch — unlike widening the batch, which degrades the per-row gather
+    rate — while the relay's per-program dispatch overhead amortizes
+    K-fold.  Returns the (tracks, meta) contract of _simulate_batch with a
+    leading [K] batch axis on every leaf; per-batch results are bit-
+    identical to K separate _simulate_batch calls (pinned by
+    tests/test_pipeline_stats.py::test_fused_batches_identical)."""
+    n_basins = len(cfg.basin_ids_sorted())
+
+    def body(_, key):
+        b = launch_body(key, pack, cfg, basin_id, n, plane_offset)
+        return None, compact_survivors(b, launch_width(cfg, n), k_max,
+                                       n_basins=n_basins)
+
+    _, out = jax.lax.scan(body, None, keys)
+    return out
+
+
 @jax.jit
 def _batch_scalars(meta):
     """(survivors, integrate-cap overflow, recompact overflow, dropped
