@@ -105,16 +105,32 @@ def main():
     rows_min = scan_rows_per_launch(cfg, n_seeds) * n_iter / dt * 60.0
     tcs_min = survivors / dt * 60.0
 
-    # production steady state: simulated years/min through run_tracks_year
-    # (quota fill + seed accounting + stopping rule + survivor fetch),
-    # pipelined across year boundaries like runtime.run_downscaling
+    # production steady state: simulated years/min through the fused
+    # multi-year driver (pipeline.run_tracks_years_fused — the
+    # runtime.run_downscaling path): batch 0 of years_per_program years
+    # rides ONE device program, so the relay's ~40 ms/program dispatch
+    # amortizes across years.  An 8-year synthetic pack (96 monthly
+    # planes) keeps every fused year on the steady-state branch.
+    n_years = 8
+    pack_y = jax.device_put(synthetic_pack(cfg, n_planes=12 * n_years,
+                                           nlat=181, nlon=360, seed=0))
+    years = list(range(2016, 2016 + n_years))
+    out_y = pipeline.run_tracks_years_fused(jax.random.key(99), pack_y,
+                                            cfg, 'GL', years)  # warm
+    assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_y)
+    t1 = time.perf_counter()
+    pipeline.run_tracks_years_fused(jax.random.key(100), pack_y, cfg,
+                                    'GL', years)
+    dt_years = time.perf_counter() - t1
+
+    # the pre-fusion year loop, for comparison (one program per year,
+    # 2-deep pipelined)
     ykey = jax.random.key(100)
     pipeline.run_tracks_year(jax.random.fold_in(ykey, 9999), pack, cfg,
                              'GL', 0)                      # warm compiles
-    n_years = 8
     pending = pipeline.prefetch_year_batch0(
         jax.random.fold_in(ykey, 0), pack, cfg, 'GL', 0)
-    t1 = time.perf_counter()
+    t2 = time.perf_counter()
     for yi in range(n_years):
         nxt = (pipeline.prefetch_year_batch0(
             jax.random.fold_in(ykey, yi + 1), pack, cfg, 'GL', 0)
@@ -122,7 +138,7 @@ def main():
         pipeline.run_tracks_year(jax.random.fold_in(ykey, yi), pack, cfg,
                                  'GL', 0, first_batch=pending)
         pending = nxt
-    dt_years = time.perf_counter() - t1
+    dt_loop = time.perf_counter() - t2
 
     dev = jax.devices()[0]
     print(json.dumps({
@@ -138,6 +154,8 @@ def main():
             'surviving_tcs_per_min': round(tcs_min, 1),
             'sim_years_per_min': round(n_years / dt_years * 60.0, 2),
             'seconds_per_sim_year': round(dt_years / n_years, 4),
+            'seconds_per_sim_year_unfused_loop': round(dt_loop / n_years,
+                                                       4),
             'survivors_per_launch': round(survivors / n_iter, 1),
             'integrate_cap': cfg.integrate_cap,
             'recompact': (list(cfg.recompact_schedule)

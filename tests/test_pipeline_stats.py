@@ -676,3 +676,95 @@ def test_fused_batches_identical():
                                       np.asarray(fme['spm_all'][k]))
         np.testing.assert_array_equal(np.asarray(me['spm_upto']),
                                       np.asarray(fme['spm_upto'][k]))
+
+
+def _assert_year_equal(r, f):
+    for name in ('lon', 'lat', 'v', 'm', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(getattr(r, name), getattr(f, name),
+                                      err_msg=name)
+    for name in ('vmax', 'wnds'):    # fusion-noise-tolerant, like the
+        # segmented-launch identity pins
+        a, b = getattr(r, name), getattr(f, name)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                      err_msg=name)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_array_equal(r.n_seeds, f.n_seeds)
+    assert r.n_dropped == f.n_dropped
+    assert r.n_proposed == f.n_proposed
+
+
+def test_fused_years_identical(monkeypatch):
+    """run_tracks_years_fused (batch 0 of K years scanned inside one
+    device program) reproduces the per-year run_tracks_year loop
+    bit-exactly, including an edge year whose out-of-range months ride the
+    clamped-plane vpot zeroing (fields.year_plane_indices)."""
+    cfg = Namelist(seed_batch=4096, end_year=2017, end_month=6,
+                   tracks_per_year=5).replace(
+        integrate_cap=0.375, recompact_schedule=((90, 0.75), (180, 0.5)))
+    # 18 planes: 2016-01 .. 2017-06 (year 1 months 7-12 are padding)
+    pack = synthetic_pack(cfg, n_planes=18, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(42)
+    years = list(cfg.years())
+    ref = [pipeline.run_tracks_year(jax.random.fold_in(key, yr), pack, cfg,
+                                    'GL', yi)
+           for yi, yr in enumerate(years)]
+
+    calls = []
+    orig = pipeline.run_tracks_year
+    monkeypatch.setattr(pipeline, 'run_tracks_year',
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    fused = pipeline.run_tracks_years_fused(key, pack, cfg, 'GL', years,
+                                            k_fuse=2)
+    assert not calls, 'steady-state years must settle on the fused path'
+    for r, f in zip(ref, fused):
+        _assert_year_equal(r, f)
+
+
+def test_fused_years_fallback_identical():
+    """A year whose batch 0 overflows its compaction cap falls back to the
+    per-year loop inside run_tracks_years_fused — results still match the
+    plain per-year loop exactly (both replay the batch uncapped)."""
+    cfg = Namelist(seed_batch=4096, end_year=2017, tracks_per_year=4
+                   ).replace(integrate_cap=1.0 / 16.0)   # cap << demand
+    pack = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(7)
+    years = list(cfg.years())
+    ref = [pipeline.run_tracks_year(jax.random.fold_in(key, yr), pack, cfg,
+                                    'GL', yi)
+           for yi, yr in enumerate(years)]
+    fused = pipeline.run_tracks_years_fused(key, pack, cfg, 'GL', years,
+                                            k_fuse=2)
+    for r, f in zip(ref, fused):
+        _assert_year_equal(r, f)
+
+
+def test_run_downscaling_fused_matches_per_year(tmp_path):
+    """runtime.run_downscaling with the fused multi-year program
+    (years_per_program > 1) writes the same tracks file as the per-year
+    loop (years_per_program = 1): every track variable identical, the
+    diagnostic vmax/wnds to the usual fusion-noise atol."""
+    from tropical_cyclone_risk_tpu import runtime
+    from tropical_cyclone_risk_tpu.io import netcdf
+    base = Namelist(seed_batch=4096, end_year=2018, tracks_per_year=3,
+                    output_directory=str(tmp_path)).replace(
+        integrate_cap=0.375, recompact_schedule=((90, 0.75), (180, 0.5)))
+    pack = synthetic_pack(base, n_planes=36, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(11)
+    fn_f = runtime.run_downscaling(
+        base.replace(years_per_program=2, exp_name='fused'), 'GL', pack,
+        key=key)
+    fn_p = runtime.run_downscaling(
+        base.replace(years_per_program=1, exp_name='plain'), 'GL', pack,
+        key=key)
+    df, dp = netcdf.read(fn_f), netcdf.read(fn_p)
+    assert set(df.keys()) == set(dp.keys())
+    for name in sorted(df.keys()):
+        a, b = df[name].data, dp[name].data
+        if name in ('vmax_trks', 'wnds_trks'):
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=name)
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                       atol=1e-4, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)

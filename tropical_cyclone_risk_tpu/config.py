@@ -218,6 +218,16 @@ class Namelist:
     # set 1 for the tightest per-track solver agreement.  Ignored when
     # rk_exact_stage_fields or rk_substeps > 1.
     field_sample_stride: int = 3
+    # fuse batch 0 of this many simulated years into ONE device program
+    # (pipeline._simulate_years): in the steady state one seed batch fills
+    # a year's whole quota, so the production year cost is one launch plus
+    # per-year host round trips — and each program dispatch through this
+    # image's TPU relay costs ~40 ms regardless of size
+    # (docs/performance.md).  Fusing amortizes that dispatch K-fold; years
+    # whose batch 0 cannot settle them (cap overflow, unfilled quota) fall
+    # back to the per-year loop with bit-identical results
+    # (pipeline.run_tracks_years_fused).  <= 1 disables fusion.
+    years_per_program: int = 8
     # freeze storm positions (intensity-only integration) — the reference's
     # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
     debug_fixed_position: bool = False

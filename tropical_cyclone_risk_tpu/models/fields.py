@@ -145,6 +145,19 @@ def crop_pack(pack: FieldPack, cfg: Namelist, basin_id: str,
     return pack._replace(**repl)
 
 
+def year_plane_indices(cfg: Namelist, n_planes: int, year_idx: int
+                       ) -> tuple:
+    """(plane index [12] int32, vpot-validity [12] float32) of one simulated
+    year — the index arithmetic of slice_pack_year, shared with the fused
+    multi-year launch program (pipeline._simulate_years) so both slice the
+    pack identically."""
+    base = year_idx * 12 + 1 - cfg.start_month
+    gl = base + np.arange(12)
+    valid = (gl >= 0) & (gl < n_planes)
+    return (np.clip(gl, 0, n_planes - 1).astype(np.int32),
+            valid.astype(np.float32))
+
+
 def slice_pack_year(pack: FieldPack, cfg: Namelist, year_idx: int
                     ) -> FieldPack:
     """The 12 calendar-month planes of one simulated year.
@@ -159,11 +172,9 @@ def slice_pack_year(pack: FieldPack, cfg: Namelist, year_idx: int
     like the reference's out-of-range time interpolation (NaN -> vpot 0,
     util/compute.py:107-121).
     """
-    P_ = pack.n_planes
-    base = year_idx * 12 + 1 - cfg.start_month
-    gl = base + np.arange(12)
-    valid = (gl >= 0) & (gl < P_)
-    idx = jnp.asarray(np.clip(gl, 0, P_ - 1))
+    idx_np, valid = year_plane_indices(cfg, pack.n_planes, year_idx)
+    valid = valid.astype(bool)
+    idx = jnp.asarray(idx_np)
     wind = jnp.take(pack.wind, idx, axis=0)
     env = jnp.take(pack.env, idx, axis=0)
     if not valid.all():

@@ -579,6 +579,48 @@ def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
     return out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
+def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
+                    cfg: Namelist, basin_id: str, n: int, k_max: int):
+    """Batch 0 of K simulated years fused into ONE device program.
+
+    The steady-state production year is one launch (the first seed batch
+    fills the whole quota) plus per-year host round trips; through this
+    image's TPU relay every program EXECUTION costs ~40 ms while extra
+    output bytes of an already-run program are nearly free
+    (tools/bench_stages.py), so scanning K year-launches inside one
+    program amortizes the dispatch overhead K-fold.  Each scan iteration
+    slices its year's 12 calendar-month planes from the full multi-year
+    pack exactly like fields.slice_pack_year (shared index arithmetic:
+    fields.year_plane_indices, including the clamped-plane vpot zeroing
+    for months outside the data range) and derives its batch key as
+    fold_in(fold_in(key, year), 0) — the per-year result is therefore
+    bit-identical to run_tracks_year's first batch (pinned by
+    tests/test_pipeline_stats.py::test_fused_years_identical).
+
+    years [K] int32, plane_idx [K, 12] int32, vpot_valid [K, 12] float32.
+    Returns the (tracks, meta) contract of _simulate_batch with a leading
+    [K] year axis on every leaf.
+    """
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    n_basins = len(cfg.basin_ids_sorted())
+    plane_off = jnp.int32(cfg.start_month - 1)
+
+    def body(_, xs):
+        year, idx_k, vm_k = xs
+        env = jnp.take(pack.env, idx_k, axis=0)
+        env = env.at[..., fields_mod.VPOT].multiply(vm_k[:, None, None])
+        p = pack._replace(wind=jnp.take(pack.wind, idx_k, axis=0), env=env)
+        bkey = jax.random.fold_in(jax.random.fold_in(key, year), 0)
+        b = launch_body(bkey, p, cfg, basin_id, n, plane_off)
+        return None, compact_survivors(b, launch_width(cfg, n), k_max,
+                                       n_basins=n_basins)
+
+    _, out = jax.lax.scan(body, None, (years, plane_idx, vpot_valid))
+    return out
+
+
 @jax.jit
 def _batch_scalars(meta):
     """(survivors, integrate-cap overflow, recompact overflow, dropped
@@ -838,6 +880,85 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
                       vmax=cat('vmax'), wnds=cat('wnds'), month=cat('month'),
                       basin_idx=cat('basin_idx'), n_seeds=n_seeds,
                       n_dropped=n_dropped, n_proposed=n_proposed)
+
+
+def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
+                           basin_id: str, years: List[int],
+                           n_tracks: Optional[int] = None,
+                           adapt: Optional[dict] = None,
+                           k_fuse: Optional[int] = None
+                           ) -> List[YearTracks]:
+    """Multi-year driver: batch 0 of k_fuse years runs as ONE device
+    program (_simulate_years), amortizing the relay's ~40 ms per-program
+    dispatch across years; two programs are kept in flight so the host
+    round trip overlaps device execution.
+
+    A year settles on the fused path when its batch 0 fills the whole
+    quota with no compaction-cap overflow — the steady state (survivors
+    per 131072-seed batch are ~100x a typical quota).  Any other year
+    (cap overflow, quota unfilled, launch_width < quota) falls back to
+    run_tracks_year with the identical per-year key, reproducing batch 0
+    bit-exactly and continuing from batch 1, so results match the
+    per-year loop in every case.  `years` are calendar years (cfg.years()
+    order); year_idx for field slicing is the position.  `adapt` carries
+    cap re-tuning across fallbacks exactly as in run_tracks_year."""
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    n_tracks = n_tracks or cfg.tracks_per_year
+    if k_fuse is None:
+        k_fuse = max(1, cfg.years_per_program)
+    N = cfg.seed_batch
+    groups = [list(range(i, min(i + k_fuse, len(years))))
+              for i in range(0, len(years), k_fuse)]
+
+    def dispatch(g):
+        cfg_g = adapt.get('cfg', cfg) if adapt is not None else cfg
+        k_max = min(n_tracks, launch_width(cfg_g, N))
+        iv = [fields_mod.year_plane_indices(cfg_g, pack.n_planes, yi)
+              for yi in g]
+        out = _simulate_years(
+            key, jnp.asarray(np.array([years[yi] for yi in g], np.int32)),
+            jnp.asarray(np.stack([x[0] for x in iv])),
+            jnp.asarray(np.stack([x[1] for x in iv])),
+            pack, cfg_g, basin_id, N, k_max)
+        return out, cfg_g, k_max
+
+    results: List[Optional[YearTracks]] = [None] * len(years)
+    pending = dispatch(groups[0]) if groups else None
+    for gi, g in enumerate(groups):
+        (tracks, meta), cfg_g, k_max = pending
+        pending = dispatch(groups[gi + 1]) if gi + 1 < len(groups) else None
+        # one host fetch per group: every per-year decision plus the track
+        # rows (bytes through the relay are cheap; round trips are not)
+        host_tracks, scalars, spm_upto = jax.device_get(
+            ({k: tracks[k] for k in ('lon', 'lat', 'v', 'm', 'vmax',
+                                     'wnds', 'month', 'basin_idx')},
+             meta['scalars'], meta['spm_upto']))
+        for j, yi in enumerate(g):
+            n_new, n_over1, n_over2, n_drop = (int(x) for x in scalars[j])
+            if n_over1 + n_over2 == 0 and n_new >= n_tracks \
+                    and k_max >= n_tracks:
+                # steady state: quota filled by batch 0, caps held.  The
+                # stopping-rule seed counts for take == k_max were
+                # precomputed inside the launch (compact_survivors).
+                results[yi] = YearTracks(
+                    lon=host_tracks['lon'][j][:n_tracks],
+                    lat=host_tracks['lat'][j][:n_tracks],
+                    v=host_tracks['v'][j][:n_tracks],
+                    m=host_tracks['m'][j][:n_tracks],
+                    vmax=host_tracks['vmax'][j][:n_tracks],
+                    wnds=host_tracks['wnds'][j][:n_tracks],
+                    month=host_tracks['month'][j][:n_tracks],
+                    basin_idx=host_tracks['basin_idx'][j][:n_tracks],
+                    n_seeds=np.asarray(spm_upto[j], np.float64),
+                    n_dropped=n_drop, n_proposed=N)
+            else:
+                # rare: overflow or unfilled quota — replay the year on
+                # the general path (same key -> batch 0 identical, then
+                # batches 1.. / uncapped fallback / cap re-tuning)
+                results[yi] = run_tracks_year(
+                    jax.random.fold_in(key, years[yi]), pack, cfg_g,
+                    basin_id, yi, n_tracks=n_tracks, adapt=adapt)
+    return results
 
 
 def concat_years(years: List[YearTracks], cfg: Namelist):

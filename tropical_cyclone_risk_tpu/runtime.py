@@ -136,34 +136,55 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
     metrics = obs.Metrics()
     results = []
     with obs.maybe_profile(trace_dir):
-        # keep one launch in flight across year boundaries: year y+1's
-        # first batch is enqueued before year y's results are drained, so
-        # the device never idles on the host round-trip between years
         adapt = {'cfg': cfg}     # cap-overflow re-tuning persists across years
-        pending = pipeline.prefetch_year_batch0(
-            jax.random.fold_in(key, years[0]), pack, cfg, basin_id, 0,
-            mesh=mesh) if years else None
-        for yi, year in enumerate(years):
-            ykey = jax.random.fold_in(key, year)
-            if yi + 1 < len(years):
-                nxt = pipeline.prefetch_year_batch0(
-                    jax.random.fold_in(key, years[yi + 1]), pack,
-                    adapt['cfg'], basin_id, yi + 1, mesh=mesh)
-            else:
-                nxt = None
-            with obs.phase(f'year {year}', metrics):
-                results.append(pipeline.run_tracks_year(
-                    ykey, pack, cfg, basin_id, yi, mesh=mesh,
-                    first_batch=pending, adapt=adapt))
-            pending = nxt
-            metrics.count('tracks', results[-1].lon.shape[0])
-            metrics.count('seeds', float(results[-1].n_seeds.sum()))
-            metrics.count('seeds_dropped', results[-1].n_dropped)
-            metrics.count('seeds_proposed', results[-1].n_proposed)
-            metrics.time('simulate', metrics.timings.pop(f'year {year}'))
-            obs.log.info('year %d: %d tracks, %d seeds, %.1f s elapsed',
-                         year, results[-1].lon.shape[0],
-                         int(results[-1].n_seeds.sum()), time.time() - t0)
+        if mesh is None and cfg.years_per_program > 1 and len(years) > 1:
+            # steady-state path: batch 0 of years_per_program years fused
+            # into one device program (pipeline._simulate_years) — one
+            # relay dispatch per group instead of per year; abnormal years
+            # (cap overflow, unfilled quota) replay on the per-year loop
+            # inside the driver with bit-identical results
+            with obs.phase('simulate', metrics):
+                results = pipeline.run_tracks_years_fused(
+                    key, pack, cfg, basin_id, list(years), adapt=adapt)
+            for yi, year in enumerate(years):
+                metrics.count('tracks', results[yi].lon.shape[0])
+                metrics.count('seeds', float(results[yi].n_seeds.sum()))
+                metrics.count('seeds_dropped', results[yi].n_dropped)
+                metrics.count('seeds_proposed', results[yi].n_proposed)
+                obs.log.info('year %d: %d tracks, %d seeds', year,
+                             results[yi].lon.shape[0],
+                             int(results[yi].n_seeds.sum()))
+        else:
+            # per-year loop: keep one launch in flight across year
+            # boundaries — year y+1's first batch is enqueued before year
+            # y's results are drained, so the device never idles on the
+            # host round-trip between years
+            pending = pipeline.prefetch_year_batch0(
+                jax.random.fold_in(key, years[0]), pack, cfg, basin_id, 0,
+                mesh=mesh) if years else None
+            for yi, year in enumerate(years):
+                ykey = jax.random.fold_in(key, year)
+                if yi + 1 < len(years):
+                    nxt = pipeline.prefetch_year_batch0(
+                        jax.random.fold_in(key, years[yi + 1]), pack,
+                        adapt['cfg'], basin_id, yi + 1, mesh=mesh)
+                else:
+                    nxt = None
+                with obs.phase(f'year {year}', metrics):
+                    results.append(pipeline.run_tracks_year(
+                        ykey, pack, cfg, basin_id, yi, mesh=mesh,
+                        first_batch=pending, adapt=adapt))
+                pending = nxt
+                metrics.count('tracks', results[-1].lon.shape[0])
+                metrics.count('seeds', float(results[-1].n_seeds.sum()))
+                metrics.count('seeds_dropped', results[-1].n_dropped)
+                metrics.count('seeds_proposed', results[-1].n_proposed)
+                metrics.time('simulate',
+                             metrics.timings.pop(f'year {year}'))
+                obs.log.info('year %d: %d tracks, %d seeds, %.1f s elapsed',
+                             year, results[-1].lon.shape[0],
+                             int(results[-1].n_seeds.sum()),
+                             time.time() - t0)
     obs.log.info('throughput: %.0f seeds/s, %.2f tracks/s',
                  metrics.rate('seeds', 'simulate'),
                  metrics.rate('tracks', 'simulate'))
