@@ -76,6 +76,38 @@ def test_run_tracks_year_on_mesh():
     assert np.all(np.isfinite(yt.lon[:, 0]))
 
 
+def test_sharded_fused_years_identical():
+    """run_tracks_years_fused on a mesh (sharding._build_sharded_years:
+    batch 0 of K years scanned inside one SPMD program) matches the
+    sharded per-year run_tracks_year loop: tracks exact, the vmax/wnds
+    diagnostics to fusion-noise atol, seed accounting identical."""
+    mesh = sharding.make_mesh(8)
+    cfg = CFG.replace(seed_batch=4096, tracks_per_year=3, end_year=2017,
+                      integrate_cap=0.5, recompact_schedule=((120, 0.5),))
+    pack = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
+    pack = sharding.replicate_pack(pack, mesh)
+    key = jax.random.key(13)
+    years = list(cfg.years())
+    ref = [pipeline.run_tracks_year(jax.random.fold_in(key, yr), pack, cfg,
+                                    'GL', yi, mesh=mesh)
+           for yi, yr in enumerate(years)]
+    fused = pipeline.run_tracks_years_fused(key, pack, cfg, 'GL', years,
+                                            k_fuse=2, mesh=mesh)
+    for r, f in zip(ref, fused):
+        for name in ('lon', 'lat', 'v', 'm', 'month', 'basin_idx'):
+            np.testing.assert_array_equal(getattr(r, name),
+                                          getattr(f, name), err_msg=name)
+        for name in ('vmax', 'wnds'):
+            a, b = getattr(r, name), getattr(f, name)
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=name)
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                       atol=1e-4, err_msg=name)
+        np.testing.assert_array_equal(r.n_seeds, f.n_seeds)
+        assert r.n_dropped == f.n_dropped
+        assert r.n_proposed == f.n_proposed
+
+
 def test_distributed_initialize_single_host_noop():
     from tropical_cyclone_risk_tpu.parallel import distributed
     # no coordinator configured anywhere: must be a clean no-op

@@ -886,8 +886,8 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
                            basin_id: str, years: List[int],
                            n_tracks: Optional[int] = None,
                            adapt: Optional[dict] = None,
-                           k_fuse: Optional[int] = None
-                           ) -> List[YearTracks]:
+                           k_fuse: Optional[int] = None,
+                           mesh=None) -> List[YearTracks]:
     """Multi-year driver: batch 0 of k_fuse years runs as ONE device
     program (_simulate_years), amortizing the relay's ~40 ms per-program
     dispatch across years; two programs are kept in flight so the host
@@ -901,7 +901,11 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
     bit-exactly and continuing from batch 1, so results match the
     per-year loop in every case.  `years` are calendar years (cfg.years()
     order); year_idx for field slicing is the position.  `adapt` carries
-    cap re-tuning across fallbacks exactly as in run_tracks_year."""
+    cap re-tuning across fallbacks exactly as in run_tracks_year.
+    `mesh`: optional seed-axis device mesh — the fused program runs SPMD
+    (parallel.sharding.simulate_years_sharded), matching the sharded
+    per-year loop's results instead of the single-device one's (sharded
+    launches fold the device index into the per-shard RNG key)."""
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
     n_tracks = n_tracks or cfg.tracks_per_year
     if k_fuse is None:
@@ -913,13 +917,25 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
     def dispatch(g):
         cfg_g = adapt.get('cfg', cfg) if adapt is not None else cfg
         k_max = min(n_tracks, launch_width(cfg_g, N))
+        # pad a short TAIL group to the full k_fuse shape (duplicating the
+        # last year; extraction below reads only the real entries): one
+        # program shape for every group of the run — a second shape would
+        # cost a full remote compile (minutes) to save a fraction of one
+        # ~0.1 s launch.  A run shorter than one group keeps its natural
+        # shape (nothing to share, padding would only waste launches).
+        gp = g + [g[-1]] * (k_fuse - len(g)) if len(groups) > 1 else g
         iv = [fields_mod.year_plane_indices(cfg_g, pack.n_planes, yi)
-              for yi in g]
-        out = _simulate_years(
-            key, jnp.asarray(np.array([years[yi] for yi in g], np.int32)),
-            jnp.asarray(np.stack([x[0] for x in iv])),
-            jnp.asarray(np.stack([x[1] for x in iv])),
-            pack, cfg_g, basin_id, N, k_max)
+              for yi in gp]
+        yrs = jnp.asarray(np.array([years[yi] for yi in gp], np.int32))
+        idx = jnp.asarray(np.stack([x[0] for x in iv]))
+        vld = jnp.asarray(np.stack([x[1] for x in iv]))
+        if mesh is not None:
+            from tropical_cyclone_risk_tpu.parallel import sharding
+            out = sharding.simulate_years_sharded(
+                mesh, key, yrs, idx, vld, pack, cfg_g, basin_id, N, k_max)
+        else:
+            out = _simulate_years(key, yrs, idx, vld, pack, cfg_g,
+                                  basin_id, N, k_max)
         return out, cfg_g, k_max
 
     results: List[Optional[YearTracks]] = [None] * len(years)
@@ -957,7 +973,8 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
                 # batches 1.. / uncapped fallback / cap re-tuning)
                 results[yi] = run_tracks_year(
                     jax.random.fold_in(key, years[yi]), pack, cfg_g,
-                    basin_id, yi, n_tracks=n_tracks, adapt=adapt)
+                    basin_id, yi, n_tracks=n_tracks, adapt=adapt,
+                    mesh=mesh)
     return results
 
 

@@ -108,3 +108,72 @@ def simulate_batch_sharded(mesh: Mesh, key: jax.Array, pack: FieldPack,
     """SPMD equivalent of pipeline._simulate_batch over a seed mesh."""
     fn = _build_sharded_batch(mesh, cfg, basin_id, n, k_max)
     return fn(key, jnp.asarray(plane_offset, jnp.int32), pack)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_years(mesh: Mesh, cfg: Namelist, basin_id: str,
+                         n: int, k_max: int):
+    """SPMD counterpart of pipeline._simulate_years: batch 0 of K simulated
+    years scanned inside ONE device program, each iteration running the
+    seed-sharded launch (same shard layout as _build_sharded_batch) — the
+    multi-chip production path gets the same K-fold dispatch amortization
+    as the single-chip one.  Per-year results are bit-identical to K
+    separate simulate_batch_sharded calls with the per-year batch-0 keys
+    (pinned by tests/test_sharding.py::test_sharded_fused_years_identical)."""
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f'seed batch {n} not divisible by {n_dev} devices')
+    n_local = n // n_dev
+
+    m_local = pipeline.launch_width(cfg, n_local)
+    seg = pipeline._seg_active(cfg, m_local)
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+
+    def local_shard(key, pack: FieldPack):
+        d = jax.lax.axis_index(SEED_AXIS)
+        return pipeline.launch_body(jax.random.fold_in(key, d), pack, cfg,
+                                    basin_id, n_local,
+                                    jnp.int32(cfg.start_month - 1),
+                                    shard_index=d)
+
+    m_total = n_dev * m_local
+    out_specs = {'seed': P(SEED_AXIS), 'trk': P(SEED_AXIS),
+                 'tm': P(None, SEED_AXIS), 'overflow': P(SEED_AXIS)}
+    if seg:
+        out_specs['tms'] = P(None, SEED_AXIS)
+        out_specs['segs'] = P(SEED_AXIS)
+    sharded = jax.shard_map(
+        local_shard, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=out_specs,
+        check_vma=False)
+
+    rep = NamedSharding(mesh, P())
+    constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
+    n_basins = len(cfg.basin_ids_sorted())
+
+    def launch(key, years, plane_idx, vpot_valid, pack: FieldPack):
+        def body(_, xs):
+            year, idx_k, vm_k = xs
+            env = jnp.take(pack.env, idx_k, axis=0)
+            env = env.at[..., fields_mod.VPOT].multiply(vm_k[:, None, None])
+            p = pack._replace(wind=jnp.take(pack.wind, idx_k, axis=0),
+                              env=env)
+            bkey = jax.random.fold_in(jax.random.fold_in(key, year), 0)
+            return None, pipeline.compact_survivors(
+                sharded(bkey, p), m_total, k_max, constrain,
+                n_basins=n_basins)
+
+        _, out = jax.lax.scan(body, None, (years, plane_idx, vpot_valid))
+        return out
+
+    return jax.jit(launch, in_shardings=(rep, rep, rep, rep, rep))
+
+
+def simulate_years_sharded(mesh: Mesh, key: jax.Array, years, plane_idx,
+                           vpot_valid, pack: FieldPack, cfg: Namelist,
+                           basin_id: str, n: int, k_max: int
+                           ) -> Tuple[dict, dict]:
+    """SPMD equivalent of pipeline._simulate_years over a seed mesh."""
+    fn = _build_sharded_years(mesh, cfg, basin_id, n, k_max)
+    return fn(key, years, plane_idx, vpot_valid, pack)

@@ -137,15 +137,17 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
     results = []
     with obs.maybe_profile(trace_dir):
         adapt = {'cfg': cfg}     # cap-overflow re-tuning persists across years
-        if mesh is None and cfg.years_per_program > 1 and len(years) > 1:
+        if cfg.years_per_program > 1 and len(years) > 1:
             # steady-state path: batch 0 of years_per_program years fused
-            # into one device program (pipeline._simulate_years) — one
-            # relay dispatch per group instead of per year; abnormal years
-            # (cap overflow, unfilled quota) replay on the per-year loop
-            # inside the driver with bit-identical results
+            # into one device program (pipeline._simulate_years, or its
+            # SPMD twin under a mesh) — one relay dispatch per group
+            # instead of per year; abnormal years (cap overflow, unfilled
+            # quota) replay on the per-year loop inside the driver with
+            # bit-identical results
             with obs.phase('simulate', metrics):
                 results = pipeline.run_tracks_years_fused(
-                    key, pack, cfg, basin_id, list(years), adapt=adapt)
+                    key, pack, cfg, basin_id, list(years), adapt=adapt,
+                    mesh=mesh)
             for yi, year in enumerate(years):
                 metrics.count('tracks', results[yi].lon.shape[0])
                 metrics.count('seeds', float(results[yi].n_seeds.sum()))
