@@ -23,9 +23,13 @@ What each emitted number counts (round-3 clarification):
 - detail.surviving_tcs_per_min: storms passing every TC filter per minute
   (the survivors written to the output NetCDF).
 - detail.sim_years_per_min: production steady state — simulated years per
-  minute through run_tracks_year (quota fill, seed accounting, stopping
-  rule, host fetch of survivor tracks), the end-to-end rate a real run
-  sustains.
+  minute through the fused multi-year driver (run_tracks_years_fused,
+  the runtime.run_downscaling default: quota fill, seed accounting,
+  stopping rule, host fetch of survivor tracks, one device program per
+  years_per_program years), the end-to-end rate a real run sustains.
+  detail.seconds_per_sim_year_unfused_loop is the same work through the
+  pre-fusion per-year loop (one program per year, 2-deep pipelined) —
+  the number earlier rounds reported — kept for cross-round comparison.
 
 Prints ONE JSON line.  vs_baseline is measured against the driver-set north
 star of 100k storm lifecycles/min/chip (BASELINE.json; the reference itself

@@ -721,10 +721,11 @@ def test_fused_years_identical(monkeypatch):
         _assert_year_equal(r, f)
 
 
-def test_fused_years_fallback_identical():
+def test_fused_years_fallback_identical(monkeypatch):
     """A year whose batch 0 overflows its compaction cap falls back to the
-    per-year loop inside run_tracks_years_fused — results still match the
-    plain per-year loop exactly (both replay the batch uncapped)."""
+    per-year loop inside run_tracks_years_fused (reusing the fused launch
+    as that year's batch 0) — results still match the plain per-year loop
+    exactly (both replay the batch uncapped)."""
     cfg = Namelist(seed_batch=4096, end_year=2017, tracks_per_year=4
                    ).replace(integrate_cap=1.0 / 16.0)   # cap << demand
     pack = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
@@ -733,10 +734,43 @@ def test_fused_years_fallback_identical():
     ref = [pipeline.run_tracks_year(jax.random.fold_in(key, yr), pack, cfg,
                                     'GL', yi)
            for yi, yr in enumerate(years)]
+    calls = []
+    orig = pipeline.run_tracks_year
+    monkeypatch.setattr(pipeline, 'run_tracks_year',
+                        lambda *a, **k: (calls.append(k), orig(*a, **k))[1])
     fused = pipeline.run_tracks_years_fused(key, pack, cfg, 'GL', years,
                                             k_fuse=2)
+    # the overflow must actually drive the fallback branch (with the fused
+    # launch handed over as batch 0), or this test silently duplicates the
+    # steady-state one
+    assert len(calls) == len(years)
+    assert all(k.get('first_batch') is not None for k in calls)
     for r, f in zip(ref, fused):
         _assert_year_equal(r, f)
+
+
+def test_fused_years_short_circuit(monkeypatch):
+    """When a launch materializes fewer track rows than the year quota
+    (k_max < n_tracks), the steady-state condition can never hold: the
+    driver must route straight to the pipelined per-year loop without
+    dispatching (and discarding) any fused program."""
+    cfg = Namelist(seed_batch=256, tracks_per_year=300, end_year=2017)
+    pack = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
+
+    def boom(*a, **k):
+        raise AssertionError('fused program dispatched')
+
+    monkeypatch.setattr(pipeline, '_simulate_years', boom)
+    monkeypatch.setattr(pipeline, 'prefetch_year_batch0',
+                        lambda *a, **k: None)
+    sentinel = object()
+    seen = []
+    monkeypatch.setattr(pipeline, 'run_tracks_year',
+                        lambda *a, **k: (seen.append(k), sentinel)[1])
+    out = pipeline.run_tracks_years_fused(jax.random.key(1), pack, cfg,
+                                          'GL', list(cfg.years()), k_fuse=2)
+    assert out == [sentinel, sentinel]
+    assert len(seen) == 2
 
 
 def test_run_downscaling_fused_matches_per_year(tmp_path):

@@ -579,6 +579,32 @@ def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
     return out
 
 
+def years_scan(key, years, plane_idx, vpot_valid, pack: FieldPack,
+               launch, compact):
+    """The shared scan skeleton of the fused multi-year programs (the
+    single-device _simulate_years and the SPMD
+    parallel.sharding._build_sharded_years): each iteration gathers its
+    year's 12 calendar-month planes from the full multi-year pack exactly
+    like fields.slice_pack_year (shared index arithmetic:
+    fields.year_plane_indices, including the clamped-plane vpot zeroing
+    for months outside the data range), derives its batch key as
+    fold_in(fold_in(key, year), 0) — run_tracks_year's batch 0 — and runs
+    launch(bkey, pack_year) | compact.  Factored so the year-slicing /
+    key-derivation logic the bit-identity tests pin exists exactly once."""
+    from tropical_cyclone_risk_tpu.models import fields as fields_mod
+
+    def body(_, xs):
+        year, idx_k, vm_k = xs
+        env = jnp.take(pack.env, idx_k, axis=0)
+        env = env.at[..., fields_mod.VPOT].multiply(vm_k[:, None, None])
+        p = pack._replace(wind=jnp.take(pack.wind, idx_k, axis=0), env=env)
+        bkey = jax.random.fold_in(jax.random.fold_in(key, year), 0)
+        return None, compact(launch(bkey, p))
+
+    _, out = jax.lax.scan(body, None, (years, plane_idx, vpot_valid))
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
 def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
@@ -590,35 +616,22 @@ def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
     image's TPU relay every program EXECUTION costs ~40 ms while extra
     output bytes of an already-run program are nearly free
     (tools/bench_stages.py), so scanning K year-launches inside one
-    program amortizes the dispatch overhead K-fold.  Each scan iteration
-    slices its year's 12 calendar-month planes from the full multi-year
-    pack exactly like fields.slice_pack_year (shared index arithmetic:
-    fields.year_plane_indices, including the clamped-plane vpot zeroing
-    for months outside the data range) and derives its batch key as
-    fold_in(fold_in(key, year), 0) — the per-year result is therefore
+    program amortizes the dispatch overhead K-fold.  Per-year results are
     bit-identical to run_tracks_year's first batch (pinned by
-    tests/test_pipeline_stats.py::test_fused_years_identical).
+    tests/test_pipeline_stats.py::test_fused_years_identical); the
+    year-slicing scan skeleton is years_scan.
 
     years [K] int32, plane_idx [K, 12] int32, vpot_valid [K, 12] float32.
     Returns the (tracks, meta) contract of _simulate_batch with a leading
     [K] year axis on every leaf.
     """
-    from tropical_cyclone_risk_tpu.models import fields as fields_mod
     n_basins = len(cfg.basin_ids_sorted())
     plane_off = jnp.int32(cfg.start_month - 1)
-
-    def body(_, xs):
-        year, idx_k, vm_k = xs
-        env = jnp.take(pack.env, idx_k, axis=0)
-        env = env.at[..., fields_mod.VPOT].multiply(vm_k[:, None, None])
-        p = pack._replace(wind=jnp.take(pack.wind, idx_k, axis=0), env=env)
-        bkey = jax.random.fold_in(jax.random.fold_in(key, year), 0)
-        b = launch_body(bkey, p, cfg, basin_id, n, plane_off)
-        return None, compact_survivors(b, launch_width(cfg, n), k_max,
-                                       n_basins=n_basins)
-
-    _, out = jax.lax.scan(body, None, (years, plane_idx, vpot_valid))
-    return out
+    return years_scan(
+        key, years, plane_idx, vpot_valid, pack,
+        lambda bkey, p: launch_body(bkey, p, cfg, basin_id, n, plane_off),
+        lambda b: compact_survivors(b, launch_width(cfg, n), k_max,
+                                    n_basins=n_basins))
 
 
 @jax.jit
@@ -906,13 +919,41 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
     (parallel.sharding.simulate_years_sharded), matching the sharded
     per-year loop's results instead of the single-device one's (sharded
     launches fold the device index into the per-shard RNG key)."""
+    import logging
+    import time as time_mod
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
+    log = logging.getLogger('tc_risk_tpu')
     n_tracks = n_tracks or cfg.tracks_per_year
     if k_fuse is None:
         k_fuse = max(1, cfg.years_per_program)
     N = cfg.seed_batch
+    cfg0 = adapt.get('cfg', cfg) if adapt is not None else cfg
+    if min(n_tracks, launch_width(cfg0, N)) < n_tracks:
+        # the steady-state condition is unreachable (a batch materializes
+        # fewer track rows than the quota, so EVERY year needs the
+        # multi-batch loop): don't pay for fused programs whose results
+        # would all be discarded — run the per-year loop directly, with
+        # the same one-launch-in-flight pipelining the runtime's unfused
+        # branch uses
+        results = []
+        pending = prefetch_year_batch0(
+            jax.random.fold_in(key, years[0]), pack, cfg0, basin_id, 0,
+            n_tracks=n_tracks, mesh=mesh) if years else None
+        for yi, year in enumerate(years):
+            nxt = prefetch_year_batch0(
+                jax.random.fold_in(key, years[yi + 1]), pack,
+                adapt.get('cfg', cfg0) if adapt is not None else cfg0,
+                basin_id, yi + 1, n_tracks=n_tracks, mesh=mesh) \
+                if yi + 1 < len(years) else None
+            results.append(run_tracks_year(
+                jax.random.fold_in(key, year), pack, cfg, basin_id, yi,
+                n_tracks=n_tracks, mesh=mesh, first_batch=pending,
+                adapt=adapt))
+            pending = nxt
+        return results
     groups = [list(range(i, min(i + k_fuse, len(years))))
               for i in range(0, len(years), k_fuse)]
+    t0 = time_mod.time()
 
     def dispatch(g):
         cfg_g = adapt.get('cfg', cfg) if adapt is not None else cfg
@@ -968,13 +1009,21 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
                     n_seeds=np.asarray(spm_upto[j], np.float64),
                     n_dropped=n_drop, n_proposed=N)
             else:
-                # rare: overflow or unfilled quota — replay the year on
-                # the general path (same key -> batch 0 identical, then
-                # batches 1.. / uncapped fallback / cap re-tuning)
+                # rare: overflow or unfilled quota — finish the year on
+                # the general path, REUSING this launch as its batch 0
+                # (it IS run_tracks_year's batch 0: same key, same caps)
+                # so the loop continues from batch 1 / replays uncapped /
+                # re-tunes caps without re-running the launch
+                fb = jax.tree_util.tree_map(lambda x: x[j], (tracks, meta))
                 results[yi] = run_tracks_year(
                     jax.random.fold_in(key, years[yi]), pack, cfg_g,
                     basin_id, yi, n_tracks=n_tracks, adapt=adapt,
-                    mesh=mesh)
+                    mesh=mesh, first_batch=fb)
+        done = sum(r is not None for r in results)
+        log.info('years %d-%d: %d tracks, %.1f s elapsed (%d/%d years)',
+                 years[g[0]], years[g[-1]],
+                 sum(results[yi].lon.shape[0] for yi in g),
+                 time_mod.time() - t0, done, len(years))
     return results
 
 

@@ -127,7 +127,6 @@ def _build_sharded_years(mesh: Mesh, cfg: Namelist, basin_id: str,
 
     m_local = pipeline.launch_width(cfg, n_local)
     seg = pipeline._seg_active(cfg, m_local)
-    from tropical_cyclone_risk_tpu.models import fields as fields_mod
 
     def local_shard(key, pack: FieldPack):
         d = jax.lax.axis_index(SEED_AXIS)
@@ -153,19 +152,12 @@ def _build_sharded_years(mesh: Mesh, cfg: Namelist, basin_id: str,
     n_basins = len(cfg.basin_ids_sorted())
 
     def launch(key, years, plane_idx, vpot_valid, pack: FieldPack):
-        def body(_, xs):
-            year, idx_k, vm_k = xs
-            env = jnp.take(pack.env, idx_k, axis=0)
-            env = env.at[..., fields_mod.VPOT].multiply(vm_k[:, None, None])
-            p = pack._replace(wind=jnp.take(pack.wind, idx_k, axis=0),
-                              env=env)
-            bkey = jax.random.fold_in(jax.random.fold_in(key, year), 0)
-            return None, pipeline.compact_survivors(
-                sharded(bkey, p), m_total, k_max, constrain,
-                n_basins=n_basins)
-
-        _, out = jax.lax.scan(body, None, (years, plane_idx, vpot_valid))
-        return out
+        # year slicing / key derivation shared with the single-device
+        # fused program — pipeline.years_scan is the only copy
+        return pipeline.years_scan(
+            key, years, plane_idx, vpot_valid, pack, sharded,
+            lambda b: pipeline.compact_survivors(
+                b, m_total, k_max, constrain, n_basins=n_basins))
 
     return jax.jit(launch, in_shardings=(rep, rep, rep, rep, rep))
 

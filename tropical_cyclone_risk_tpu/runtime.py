@@ -148,14 +148,13 @@ def run_downscaling(cfg: Namelist, basin_id: str, pack: FieldPack,
                 results = pipeline.run_tracks_years_fused(
                     key, pack, cfg, basin_id, list(years), adapt=adapt,
                     mesh=mesh)
+            # per-group progress (tracks, elapsed) is logged by the fused
+            # driver as each group drains; only the counters remain here
             for yi, year in enumerate(years):
                 metrics.count('tracks', results[yi].lon.shape[0])
                 metrics.count('seeds', float(results[yi].n_seeds.sum()))
                 metrics.count('seeds_dropped', results[yi].n_dropped)
                 metrics.count('seeds_proposed', results[yi].n_proposed)
-                obs.log.info('year %d: %d tracks, %d seeds', year,
-                             results[yi].lon.shape[0],
-                             int(results[yi].n_seeds.sum()))
         else:
             # per-year loop: keep one launch in flight across year
             # boundaries — year y+1's first batch is enqueued before year
