@@ -126,3 +126,119 @@ def test_classic_4gib_preflight():
 
     with pytest.raises(ValueError, match='ensemble members'):
         _preflight_limit({'x': gib4 + 8, 'y': gib4 + 8, 'z': 4})
+
+
+def _make_feature_rich_classic(fn, version):
+    """Every classic-format feature the stream parser handles: record dim
+    with multiple record variables, packed int16 + fill, missing_value,
+    char matrix, scalar-free mixed fixed vars, global + var attrs."""
+    from scipy.io import netcdf_file
+    rng = np.random.default_rng(7)
+    with netcdf_file(fn, 'w', version=version) as f:
+        f.history = 'made by test'
+        f.level = np.int32(600)
+        f.createDimension('time', None)          # record dimension
+        f.createDimension('lat', 5)
+        f.createDimension('lon', 7)
+        f.createDimension('s2', 2)
+        t = f.createVariable('time', np.float64, ('time',))
+        u = f.createVariable('u', np.int16, ('time', 'lat', 'lon'))
+        u.scale_factor = 0.01
+        u.add_offset = 5.0
+        u._FillValue = np.int16(-32767)
+        w = f.createVariable('w', np.float32, ('time', 'lat', 'lon'))
+        w.missing_value = np.float32(-9e9)
+        lat = f.createVariable('lat', np.float32, ('lat',))
+        lat[:] = np.linspace(-10, 10, 5)
+        lat.units = 'degrees_north'
+        names = f.createVariable('names', 'S1', ('lat', 's2'))
+        names[:] = np.array([list('NA'), list('EP'), list('WP'),
+                             list('SI'), list('GL')], 'S1')
+        ib = f.createVariable('ib', np.int8, ('lon',))
+        ib[:] = np.arange(7, dtype=np.int8)
+        for r in range(3):
+            t[r] = 100.0 + r
+            ur = rng.integers(-1000, 1000, (5, 7)).astype(np.int16)
+            ur[0, r] = -32767
+            u[r] = ur
+            wr = rng.normal(size=(5, 7)).astype(np.float32)
+            wr[1, r] = -9e9
+            w[r] = wr
+
+
+@pytest.mark.parametrize('version', [1, 2])
+def test_stream_parser_matches_scipy(tmp_path, version):
+    """The streaming classic parser (bounded-RSS path) decodes every
+    variable, dim tuple, and attribute identically to the scipy fallback,
+    for both CDF-1 and CDF-2 and including record variables."""
+    from tropical_cyclone_risk_tpu.io.netcdf import (_read_classic_scipy,
+                                                     _read_classic_stream)
+    fn = str(tmp_path / f'rich_v{version}.nc')
+    _make_feature_rich_classic(fn, version)
+    a = _read_classic_stream(fn)
+    b = _read_classic_scipy(fn)
+    assert set(a.keys()) == set(b.keys())
+    assert a.attrs.keys() == b.attrs.keys()
+    for k in a.attrs:
+        np.testing.assert_array_equal(np.asarray(a.attrs[k]),
+                                      np.asarray(b.attrs[k]))
+    for name in a.keys():
+        va, vb = a[name], b[name]
+        assert va.dims == vb.dims, name
+        assert va.data.shape == vb.data.shape, name
+        if va.data.dtype.kind == 'S':
+            np.testing.assert_array_equal(va.data, vb.data)
+        else:
+            assert va.data.dtype == vb.data.dtype.newbyteorder('='), name
+            np.testing.assert_array_equal(va.data, vb.data, err_msg=name)
+        assert set(va.attrs) == set(vb.attrs), name
+        for ak in va.attrs:
+            np.testing.assert_array_equal(np.asarray(va.attrs[ak]),
+                                          np.asarray(vb.attrs[ak]))
+
+
+def test_stream_parser_truncated_record_data(tmp_path):
+    from tropical_cyclone_risk_tpu.io.netcdf import _read_classic_stream
+    fn = str(tmp_path / 'rich.nc')
+    _make_feature_rich_classic(fn, 2)
+    raw = open(fn, 'rb').read()
+    open(fn, 'wb').write(raw[:len(raw) - 40])
+    with pytest.raises(ValueError, match='rich.nc'):
+        _read_classic_stream(fn)
+
+
+def test_classic_reader_rss_bounded(tmp_path):
+    """VERDICT r3 item 6: reading a large classic variable must not buffer
+    the whole file on top of the decoded array.  Measured in a subprocess:
+    peak RSS growth over the post-import baseline stays under 1.35x the
+    decoded data (the old slurp path peaked at >= 2x: whole-file copy +
+    scipy's materialized data)."""
+    import json
+    import subprocess
+    import sys
+
+    nbytes = 192 * (1 << 20)             # 192 MiB variable
+    n = nbytes // 4
+    fn = str(tmp_path / 'big.nc')
+    netcdf.write(fn, {'v': (('n',), np.zeros(n, np.float32))},
+                 coords={})
+    code = f"""
+import json, resource
+import numpy as np
+from tropical_cyclone_risk_tpu.io import netcdf
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+ds = netcdf.read({fn!r})
+data = ds['v'].data
+assert data.dtype == np.float32 and data.nbytes == {nbytes}
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+print(json.dumps({{'base_kib': int(base), 'peak_kib': int(peak)}}))
+"""
+    out = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, check=True, cwd='/root/repo')
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    growth = (r['peak_kib'] - r['base_kib']) * 1024
+    # decoded array + 4 MB chunk buffer + interpreter slack
+    assert growth < 1.35 * nbytes + (32 << 20), (
+        f'classic reader peak RSS grew {growth / 2**20:.0f} MiB for a '
+        f'{nbytes / 2**20:.0f} MiB variable (base {r["base_kib"]} KiB, '
+        f'peak {r["peak_kib"]} KiB)')
