@@ -219,15 +219,19 @@ class Namelist:
     # rk_exact_stage_fields or rk_substeps > 1.
     field_sample_stride: int = 3
     # fuse batch 0 of this many simulated years into ONE device program
-    # (pipeline._simulate_years): in the steady state one seed batch fills
-    # a year's whole quota, so the production year cost is one launch plus
-    # per-year host round trips — and each program dispatch through this
-    # image's TPU relay costs ~40 ms regardless of size
-    # (docs/performance.md).  Fusing amortizes that dispatch K-fold; years
-    # whose batch 0 cannot settle them (cap overflow, unfilled quota) fall
-    # back to the per-year loop with bit-identical results
-    # (pipeline.run_tracks_years_fused).  <= 1 disables fusion.
-    years_per_program: int = 8
+    # (pipeline._simulate_years); <= 1 (the default) runs the per-year
+    # pipelined loop instead.  Fusion was built on a dispatch-amortization
+    # theory during the round-3 relay outage; the on-chip A/B
+    # (tools/bench_fused_years.py, 8-year run, seconds/sim-year) measured
+    # the per-year loop at 0.0947 vs fused k=8 0.0981 / k=4 0.0965 /
+    # k=2 0.0941 — the 2-deep pipelined loop already hides the relay's
+    # ~40 ms dispatch, so fusion never wins (k=8 even loses ~4%: one
+    # 8-year group leaves nothing to pipeline the big host fetch behind).
+    # Kept opt-in for hosts with a slower control path; years whose batch 0
+    # cannot settle them (cap overflow, unfilled quota) fall back to the
+    # per-year loop with bit-identical results
+    # (pipeline.run_tracks_years_fused).
+    years_per_program: int = 1
     # freeze storm positions (intensity-only integration) — the reference's
     # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
     debug_fixed_position: bool = False
