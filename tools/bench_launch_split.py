@@ -72,13 +72,15 @@ def main():
         jax.random.key(1))
 
     # ---- fixed stages ----
+    # scalar-reduced: fetching the [N] lon array costs ~2x the relay floor
+    # in transfer alone and would masquerade as device time
     t_seed = timeit('propose_seeds', jax.jit(
         lambda k: seeding.propose_seeds(k, pack, cfg, 'GL', N,
-                                        jnp.int32(0)).lon),
+                                        jnp.int32(0)).lon.sum()),
         jax.random.key(2))
     t_four = timeit('draw_fourier', jax.jit(
         lambda k: fourier.draw_fourier(k, (N, cfg.n_wind_levels),
-                                       cfg.T_fourier_s).A),
+                                       cfg.T_fourier_s).A.sum()),
         jax.random.key(3))
     t_disp = timeit('relay floor (x+1 on [8])', jax.jit(lambda x: x + 1),
                     jnp.zeros(8))
@@ -100,9 +102,22 @@ def main():
     dt_out = float(cfg.output_interval_s)
     seg_rows = m * n_steps
 
-    def scan_variant(y0, alive0, gather_per_block=True, n_stages=4,
-                     color_per_step=True, write_outputs=True,
+    stacks_meta = stacks
+    params_meta = params
+
+    def scan_variant(big, y0, alive0, gather_per_block=True,
+                     n_stages=4, color_per_step=True, write_outputs=True,
                      events=True):
+        # rebuild stacks/params from the big arrays passed as jit ARGUMENTS
+        # (closure capture would bake ~100 MB of field/Fourier buffers into
+        # the HLO as constants and blow the remote-compile relay's
+        # request-body limit, HTTP 413); grid metadata and channel counts
+        # stay static via the *_meta closures
+        cell4, land_geo4, bathy4, A, B = big
+        stacks = stacks_meta._replace(cell4=cell4, land_geo4=land_geo4,
+                                      bathy4=bathy4)
+        params = params_meta._replace(
+            fourier=params_meta.fourier._replace(A=A, B=B))
         ks_all = jnp.arange(n_steps)
         f_all = params.fourier.evaluate_grid(
             ks_all.astype(jnp.float32) * dt_out)
@@ -168,11 +183,16 @@ def main():
         ('scan euler (1 rhs stage)', dict(n_stages=1)),
         ('scan frozen coloring', dict(color_per_step=False)),
         ('scan no-events', dict(events=False)),
+        ('scan floor (all ablations)', dict(
+            gather_per_block=False, n_stages=1, color_per_step=False,
+            write_outputs=False, events=False)),
     ]
+    big = (stacks.cell4, stacks.land_geo4, stacks.bathy4,
+           params.fourier.A, params.fourier.B)
     t_full = None
     for name, kw in variants:
-        fn = jax.jit(lambda y, a, kw=kw: scan_variant(y, a, **kw))
-        t = timeit(f'{name} [{m} x {n_steps}]', fn, y0, alive0)
+        fn = jax.jit(lambda bg, y, a, kw=kw: scan_variant(bg, y, a, **kw))
+        t = timeit(f'{name} [{m} x {n_steps}]', fn, big, y0, alive0)
         if t_full is None:
             t_full = t
         else:
@@ -180,6 +200,45 @@ def main():
             print(f'   -> delta vs full: {d * 1e3:.1f} ms '
                   f'({d / seg_rows * 1e9:.2f} ns/row; launch share '
                   f'~{d / seg_rows * rows * 1e3:.1f} ms)', flush=True)
+
+    # ---- epilogue pieces (the ~35 ms unattributed slice) ----
+    from tropical_cyclone_risk_tpu.models import diagnostics
+
+    kd = jax.random.split(jax.random.key(9), 6)
+    lon_t = 140.0 + 10 * jax.random.normal(kd[0], (n_steps, m))
+    lat_t = 20.0 + 5 * jax.random.normal(kd[1], (n_steps, m))
+    v_t = 20.0 + 5 * jax.random.normal(kd[2], (n_steps, m))
+    wnds_t = 5.0 * jax.random.normal(kd[3], (n_steps, m,
+                                              cfg.n_wind_levels))
+    alive_t = jnp.ones((n_steps, m), bool)
+    ls = jnp.full((m,), n_steps - 1, jnp.int32)
+
+    t_vmax = timeit(f'axi_to_max_wind_raw [{m} x {n_steps}]', jax.jit(
+        lambda lo, la, v, w, al, l: diagnostics.axi_to_max_wind_raw(
+            lo, la, float(cfg.output_interval_s), v, w, al, l, cfg
+        )[0].sum()), lon_t, lat_t, v_t, wnds_t, alive_t, ls)
+    print(f'   -> launch share ~{t_vmax / seg_rows * rows * 1e3:.1f} ms '
+          f'(x2: segments recompute boundary columns)', flush=True)
+
+    # argsort-based stable partition (the compaction idiom) vs the
+    # cumsum+scatter equivalent, at integrate-compaction width
+    keep = jax.random.bernoulli(kd[4], 0.07, (N,))
+
+    def part_argsort(k):
+        slot = jnp.arange(N)
+        return jnp.argsort(jnp.where(k, slot, slot + N))[:m].sum()
+
+    def part_cumsum(k):
+        slot = jnp.arange(N, dtype=jnp.int32)
+        n_keep = jnp.cumsum(k.astype(jnp.int32))
+        pos = jnp.where(k, n_keep - 1, n_keep[-1] + slot - n_keep)
+        order = jnp.zeros((N,), jnp.int32).at[pos].set(slot)
+        return order[:m].sum()
+
+    t_sort = timeit(f'stable partition argsort [{N}]',
+                    jax.jit(part_argsort), keep)
+    t_csum = timeit(f'stable partition cumsum+scatter [{N}]',
+                    jax.jit(part_cumsum), keep)
 
     print(f'\nsummary: launch {t_launch * 1e3:.1f} ms; seeding '
           f'{t_seed * 1e3:.1f}; fourier {t_four * 1e3:.1f}; relay floor '

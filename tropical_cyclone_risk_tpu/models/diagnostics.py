@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tropical_cyclone_risk_tpu import constants
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.ops import sphere
 
@@ -62,21 +63,51 @@ def axi_to_max_wind(track_lon, track_lat, dt_track, tc_v, env_wnds,
     V_inc = G * vtran + 0.1 * v_shr * tc_v / 15.0
 
     mag_inc = jnp.sqrt(U_inc ** 2 + V_inc ** 2)
-    mag_fac = jnp.minimum(1.0, (tc_v * 0.50) / mag_inc)
-    theta_opt = jnp.arctan2(-U_inc, V_inc)
-    ug = tc_v * -jnp.sin(theta_opt) + U_inc * mag_fac
-    vg = tc_v * jnp.cos(theta_opt) + V_inc * mag_fac
-    return jnp.sqrt(ug ** 2 + vg ** 2)
+    return _vmax_from_inc(tc_v, mag_inc)
+
+
+def _vmax_from_inc(tc_v, mag_inc):
+    """vmax = tc_v + min(mag_inc, 0.5 * tc_v): the closed form of the
+    reference's optimal-azimuth construction (wind/tc_wind.py:14-21).  With
+    r = |inc| and theta = atan2(-U_inc, V_inc), sin(theta) = -U_inc/r and
+    cos(theta) = V_inc/r, so ug = U_inc (v/r + fac) and vg = V_inc (v/r +
+    fac); hence sqrt(ug^2 + vg^2) = v + r fac = v + min(r, 0.5 v) exactly.
+    Dropping the atan2/sin/cos/final-sqrt chain halves the per-row
+    transcendental count of the launch's vmax pass; values agree with the
+    trig form to float32 rounding (the differential test's rtol 2e-3 and the
+    launch identity tests' atol 1e-4 both hold), and NaN samples still
+    propagate through mag_inc -> minimum."""
+    return tc_v + jnp.minimum(mag_inc, 0.5 * tc_v)
 
 
 def _translation_tm(lon, lat, lon_prev, lat_prev, lon_next, lat_next, dt_s):
     """Centered-difference translation speed (m/s) given explicit previous /
     next positions, time-major [T, N] (ops.sphere.translational_speed with
-    the neighbor construction factored out)."""
-    dlon = 0.5 * (jnp.sign(lon_next - lon_prev) *
-                  sphere.haversine(lon_next, lat, lon_prev, lat))
-    dlat = 0.5 * (jnp.sign(lat_next - lat_prev) *
-                  sphere.haversine(lon, lat_next, lon, lat_prev))
+    the neighbor construction factored out).
+
+    The two haversines are specialized to their degenerate calls — the zonal
+    distance has EQUAL latitudes (sin^2(dlat/2) is exactly 0.0 and the two
+    cos(lat) factors are the same value) and the meridional distance EQUAL
+    longitudes — dropping 5 of the 12 per-row transcendentals of the generic
+    pair.  Zonal distances are bit-identical to sphere.haversine; meridional
+    ones agree to ~1 ulp of the arcsin argument (~0.1 m; XLA's algebraic
+    simplifier factors deg2rad out of the single-use subtraction here, which
+    the generic form's extra cos() uses inhibit — sub-1e-4 m/s on vmax,
+    far inside the differential tests' 2e-3 tolerance).  This pass runs over
+    every launch row (~6.7M/launch), where it was ~40% of the vmax
+    diagnostic's cost."""
+    km = constants.earth_R / 1000.0
+    # zonal: haversine(lon_next, lat, lon_prev, lat)
+    la = jnp.deg2rad(lat)
+    dl2 = (jnp.deg2rad(lon_prev) - jnp.deg2rad(lon_next)) / 2
+    a_lon = jnp.square(jnp.cos(la)) * jnp.square(jnp.sin(dl2))
+    hav_lon = km * 2 * jnp.arcsin(jnp.sqrt(a_lon))
+    # meridional: haversine(lon, lat_next, lon, lat_prev)
+    dp2 = (jnp.deg2rad(lat_prev) - jnp.deg2rad(lat_next)) / 2
+    a_lat = jnp.square(jnp.sin(dp2))
+    hav_lat = km * 2 * jnp.arcsin(jnp.sqrt(a_lat))
+    dlon = 0.5 * (jnp.sign(lon_next - lon_prev) * hav_lon)
+    dlat = 0.5 * (jnp.sign(lat_next - lat_prev) * hav_lat)
     return dlon * 1000.0 / dt_s, dlat * 1000.0 / dt_s
 
 
@@ -149,11 +180,7 @@ def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
     U_inc = G * ut + 0.1 * u_shr * tc_v / 15.0
     V_inc = G * vt + 0.1 * v_shr * tc_v / 15.0
     mag_inc = jnp.sqrt(U_inc ** 2 + V_inc ** 2)
-    mag_fac = jnp.minimum(1.0, (tc_v * 0.50) / mag_inc)
-    theta_opt = jnp.arctan2(-U_inc, V_inc)
-    ug = tc_v * -jnp.sin(theta_opt) + U_inc * mag_fac
-    vg = tc_v * jnp.cos(theta_opt) + V_inc * mag_fac
-    vmax = jnp.sqrt(ug ** 2 + vg ** 2)
+    vmax = _vmax_from_inc(tc_v, mag_inc)
     peak = jnp.max(jnp.where(alive, vmax, -jnp.inf), axis=0)
     return vmax, peak
 

@@ -115,17 +115,44 @@ def _is_land(land_val):
     return land_val >= 1.0 - 1e-5
 
 
-def ocean_alpha(cfg: Namelist, env, land_val, bathy_val, u_T, v):
+class DerivedSample(NamedTuple):
+    """Stage-independent derivations of one FieldSample, hoisted out of the
+    per-RK-stage RHS (rhs_given_winds evaluates 4x per step, 12x per
+    stride-3 block, but these depend only on the gathered fields): the
+    t_strat^-0.4 pow is the single most expensive transcendental in the
+    dynamics, and the land/no-mixing masks are pure field predicates.
+    z_fac keeps ocean_alpha's exact multiplication order
+    (((0.01*s)*h_m)*u_T*v_pot/v), so hoisting is bit-identical."""
+    z_fac: jnp.ndarray        # [N] 0.01 * t_strat^-0.4 * h_m
+    v_pot: jnp.ndarray        # [N] land-zeroed potential intensity
+    no_mixing: jnp.ndarray    # [N] bool: alpha = 1 (land/shallow/unstrat)
+
+
+def derive_sample(cfg: Namelist, smp: 'FieldSample') -> DerivedSample:
+    env = smp.env
+    h_m = env[:, F.MLD]
+    t_strat = env[:, F.STRAT]
+    v_pot = jnp.where(_is_land(smp.land), 0.0, env[:, F.VPOT])
+    no_mixing = (smp.bathy >= 0) | (-h_m <= smp.bathy) | (t_strat == 0)
+    return DerivedSample(0.01 * t_strat ** -0.4 * h_m, v_pot, no_mixing)
+
+
+def ocean_alpha(cfg: Namelist, env, land_val, bathy_val, u_T, v, drv=None):
     """Ocean feedback parameter alpha (coupled_fast.py:65-94).
 
     alpha = 1 over land / shallow / unstratified water; else
     1 - 0.87 exp(-z) with z = 0.01 strat^-0.4 h_m u_T v_pot / v.
-    """
-    h_m = env[:, F.MLD]
-    t_strat = env[:, F.STRAT]
-    v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
-    no_mixing = (bathy_val >= 0) | (-h_m <= bathy_val) | (t_strat == 0)
-    z = 0.01 * t_strat ** -0.4 * h_m * u_T * v_pot / v
+    drv: optional precomputed DerivedSample (the integrator hoists it out
+    of the RK stage loop)."""
+    if drv is None:
+        h_m = env[:, F.MLD]
+        t_strat = env[:, F.STRAT]
+        v_pot = jnp.where(_is_land(land_val), 0.0, env[:, F.VPOT])
+        no_mixing = (bathy_val >= 0) | (-h_m <= bathy_val) | (t_strat == 0)
+        z = 0.01 * t_strat ** -0.4 * h_m * u_T * v_pot / v
+    else:
+        v_pot, no_mixing = drv.v_pot, drv.no_mixing
+        z = drv.z_fac * u_T * v_pot / v
     fac = jnp.exp(-jnp.clip(z, 0.0, 100.0))
     return jnp.where(no_mixing, 1.0, 1.0 - 0.87 * fac), v_pot
 
@@ -209,11 +236,13 @@ def bam_velocity(cfg: Namelist, lat, v, wnds_raw):
 
 
 def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
-                    smp: FieldSample, wnds_raw) -> Tuple[State, jnp.ndarray]:
+                    smp: FieldSample, wnds_raw, drv=None
+                    ) -> Tuple[State, jnp.ndarray]:
     """Coupled tendency (coupled_fast.py:196-207) given gathered fields and
     already-colored environmental winds (the stage-independent parts of one
     step; steering weights, ocean feedback and the ODEs below remain exact
-    per RK stage)."""
+    per RK stage).  drv: optional DerivedSample hoisting the field-only
+    derivations (t_strat pow, land masks) out of the stage loop."""
     lon, lat, v, m = y
     env = smp.env
     land_val = smp.land
@@ -221,7 +250,7 @@ def rhs_given_winds(cfg: Namelist, t, y: State, params: SeedParams,
 
     u_bam, v_bam, wnds = bam_velocity(cfg, lat, v, wnds_raw)
     u_T = jnp.sqrt(u_bam ** 2 + v_bam ** 2)
-    alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v)
+    alpha, v_pot = ocean_alpha(cfg, env, land_val, bathy_val, u_T, v, drv)
     gamma = EPSILON + alpha * KAPPA
 
     ck_2h = 0.5 * cfg.Ck / params.h_bl

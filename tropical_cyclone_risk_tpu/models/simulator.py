@@ -87,11 +87,12 @@ def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt,
     coefficient buffers every step)."""
     smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
                                      params.plane, t)
+    drv = fast.derive_sample(cfg, smp)
     if f_t is None:
         f_t = params.fourier.evaluate(t)
     wnds = fast.color_winds_given_f(cfg, smp.wind_stats, f_t)
     rhs_fn = lambda tt, yy: fast.rhs_given_winds(cfg, tt, yy, params, smp,
-                                                 wnds)
+                                                 wnds, drv)
     return _rk4_step(rhs_fn, t, y, dt)
 
 
@@ -191,12 +192,13 @@ def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
         t0 = k.astype(jnp.float32) * dt_out
         smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
                                          params.plane, t0)
+        drv = fast.derive_sample(cfg, smp)
         outs = []
         for j in range(stride):
             t = t0 + j * dt_out
             wnds = fast.color_winds_given_f(cfg, smp.wind_stats, f_s[j])
             rhs_fn = lambda tt, yy, w=wnds: fast.rhs_given_winds(
-                cfg, tt, yy, params, smp, w)
+                cfg, tt, yy, params, smp, w, drv)
             y_next, _ = _rk4_step(rhs_fn, t, y, dt_out)
             outs.append((y.lon, y.lat, y.v, y.m, wnds, alive))
             y = fast.State(*(jnp.where(alive, a, b)
