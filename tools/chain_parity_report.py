@@ -27,6 +27,12 @@ def main(argv=None):
                     help='field_sample_stride for the TPU-pipeline side '
                          '(default: the config default; the reference '
                          'chain is stride-independent)')
+    ap.add_argument('--ref-cache', default=None,
+                    help='npz path: save the reference-chain aggregates on '
+                         'first run, reuse them on later runs — the '
+                         'sequential solve_ivp side dominates the wall '
+                         'time and is independent of --stride, so stride '
+                         'sweeps only pay the TPU side')
     args = ap.parse_args(argv)
 
     import jax
@@ -67,18 +73,37 @@ def main(argv=None):
             return float(vmax[fin][hit[0]])
         return None
 
-    tracks, n_counted_ref, _ = rc.run(np.random.default_rng(0),
-                                      args.ref_seeds)
-    ref_lmi = np.array([t.vmax.max() for t in tracks])
-    ref_lat0 = np.array([t.lat[0] for t in tracks])
-    ref_month = np.array([t.month for t in tracks])
-    ref_pos = np.concatenate([np.stack([t.lon, t.lat], 1) for t in tracks])
-    ref_surv = len(tracks) / n_counted_ref
-    ref_pdi = np.array([pdi_of(t.vmax) for t in tracks])
-    ref_lf = np.array([v for t in tracks
-                       for v in [landfall_vmax(t.lon, t.lat, t.vmax)]
-                       if v is not None])
-    ref_spm = rc.counted_by_bm.astype(float)
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        c = np.load(args.ref_cache)
+        assert int(c['ref_seeds']) == args.ref_seeds, (
+            f"cache built for --ref-seeds {int(c['ref_seeds'])}, "
+            f"got {args.ref_seeds}")
+        ref_lmi, ref_lat0, ref_month = c['lmi'], c['lat0'], c['month']
+        ref_pos, ref_pdi, ref_lf = c['pos'], c['pdi'], c['lf']
+        ref_spm, n_counted_ref = c['spm'], int(c['n_counted'])
+        ref_surv = ref_lmi.size / n_counted_ref
+        print(f'reference side loaded from {args.ref_cache} '
+              f'({ref_lmi.size} tracks)', flush=True)
+    else:
+        tracks, n_counted_ref, _ = rc.run(np.random.default_rng(0),
+                                          args.ref_seeds)
+        ref_lmi = np.array([t.vmax.max() for t in tracks])
+        ref_lat0 = np.array([t.lat[0] for t in tracks])
+        ref_month = np.array([t.month for t in tracks])
+        ref_pos = np.concatenate([np.stack([t.lon, t.lat], 1)
+                                  for t in tracks])
+        ref_surv = len(tracks) / n_counted_ref
+        ref_pdi = np.array([pdi_of(t.vmax) for t in tracks])
+        ref_lf = np.array([v for t in tracks
+                           for v in [landfall_vmax(t.lon, t.lat, t.vmax)]
+                           if v is not None])
+        ref_spm = rc.counted_by_bm.astype(float)
+        if args.ref_cache:
+            np.savez_compressed(
+                args.ref_cache, ref_seeds=args.ref_seeds, lmi=ref_lmi,
+                lat0=ref_lat0, month=ref_month, pos=ref_pos, pdi=ref_pdi,
+                lf=ref_lf, spm=ref_spm, n_counted=n_counted_ref)
+            print(f'reference side cached to {args.ref_cache}', flush=True)
 
     n_basins = ref_spm.shape[0]
     lmis, lat0s, months, poss, pdis, lfs = [], [], [], [], [], []
