@@ -401,7 +401,8 @@ def test_take_capped_at_materialized_rows(monkeypatch):
                 'overflow': jnp.zeros((2,), jnp.int32)}
         # the in-launch precomputed decisions (compact_survivors n_basins>0)
         nb = len(c.basin_ids_sorted())
-        meta['scalars'] = jnp.asarray([int(keep.sum()), 0, 0, 0], jnp.int32)
+        meta['scalars'] = jnp.asarray(
+            [int(keep.sum()), 0, 0, 0, int(keep.sum())], jnp.int32)
         meta['spm_upto'] = pipeline._count_upto_body(
             meta['keep'], meta['counted'], meta['basin_idx'], meta['month'],
             km - 1, nb)
@@ -630,7 +631,9 @@ def test_alive_probe_covers_decay_drift(monkeypatch):
         frac = 0.6 if hi else 0.05
         t = np.arange(cfg_.n_steps_output, dtype=np.float64)
         curve = frac * w * np.clip(1.0 - t / cfg_.n_steps_output, 0.0, 1.0)
-        return jnp.asarray(np.round(curve).astype(np.int32))
+        # (alive curve, survivor count) — the probe's round-4 contract
+        return (jnp.asarray(np.round(curve).astype(np.int32)),
+                jnp.int32(round(0.05 * w)))
 
     monkeypatch.setattr(pipeline, '_alive_curve_probe', fake_probe)
     tuned = pipeline.auto_integrate_cap(jax.random.key(3), pack_hi, cfg2,
@@ -802,3 +805,85 @@ def test_run_downscaling_fused_matches_per_year(tmp_path):
                                        atol=1e-4, err_msg=name)
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def _tuned_quota_cfg():
+    """Auto-tuned cfg on the synthetic environment with the quota prefix
+    resolvable (survivors_per_slot from the pathfinder probe)."""
+    cfg = Namelist(seed_batch=4096, tracks_per_year=6, end_year=2016)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    cfg = pipeline.auto_integrate_cap(jax.random.key(21), pack, cfg, 'GL')
+    assert cfg.survivors_per_slot is not None
+    return cfg, pack
+
+
+def test_quota_prefix_identical():
+    """The speculative quota prefix (quota_cfg: integrate only a prefix of
+    the integrable slots sized for the year quota) must leave the year's
+    tracks and seed accounting bit-identical to the full tuned launch —
+    the compacted track axis is slot-ordered, so when the prefix holds at
+    least `quota` survivors they ARE the first survivors of the full
+    launch, and the stopping-rule cutoff slot lies inside the prefix."""
+    cfg, pack = _tuned_quota_cfg()
+    cq = pipeline.quota_cfg(cfg, cfg.tracks_per_year, cfg.seed_batch, 1)
+    assert cq is not None, 'quota prefix must engage on the tuned cfg'
+    assert pipeline.launch_width(cq, cfg.seed_batch) \
+        < pipeline.launch_width(cfg, cfg.seed_batch)
+    assert cq.recompact_schedule is None
+
+    key = jax.random.key(31)
+    yt_q = pipeline.run_tracks_year(key, pack, cfg, 'GL', 0)
+    yt_f = pipeline.run_tracks_year(
+        key, pack, cfg.replace(quota_prefix=False), 'GL', 0)
+    _assert_year_equal(yt_f, yt_q)
+    assert yt_q.lon.shape[0] == cfg.tracks_per_year
+
+    # prefetch (the pipelined year loop's batch 0) applies the same
+    # derivation: feeding it back must reproduce the same year
+    fb = pipeline.prefetch_year_batch0(key, pack, cfg, 'GL', 0)
+    yt_p = pipeline.run_tracks_year(key, pack, cfg, 'GL', 0,
+                                    first_batch=fb)
+    _assert_year_equal(yt_q, yt_p)
+
+
+def test_quota_prefix_miss_falls_back():
+    """A batch whose prefix cannot cover the remaining quota relaunches at
+    the tuned width with the same key — outputs bit-identical to never
+    having speculated (the fallback twin of the cap-overflow rule)."""
+    cfg, pack = _tuned_quota_cfg()
+    # an absurd survivor-rate estimate shrinks the prefix to the 256 floor,
+    # where the quota below cannot fill from the prefix's survivors
+    cfg_hi = cfg.replace(survivors_per_slot=0.9)
+    quota = 64
+    cq = pipeline.quota_cfg(cfg_hi, quota, cfg.seed_batch, 1)
+    assert cq is not None and pipeline.launch_width(
+        cq, cfg.seed_batch) == 256
+    key = jax.random.key(33)
+    yt_m = pipeline.run_tracks_year(key, pack, cfg_hi, 'GL', 0,
+                                    n_tracks=quota)
+    yt_f = pipeline.run_tracks_year(
+        key, pack, cfg_hi.replace(quota_prefix=False), 'GL', 0,
+        n_tracks=quota)
+    _assert_year_equal(yt_f, yt_m)
+    assert yt_m.lon.shape[0] == quota
+
+
+def test_quota_prefix_fused_years_identical():
+    """The fused multi-year driver under the quota prefix settles years by
+    the leading-prefix survivor scalar and still matches the per-year
+    loop (which itself runs quota-prefixed) AND the unspeculated loop."""
+    cfg, pack = _tuned_quota_cfg()
+    cfg = cfg.replace(end_year=2017)
+    pack = synthetic_pack(cfg, n_planes=24, nlat=91, nlon=180, seed=0)
+    key = jax.random.key(41)
+    years = list(cfg.years())
+    fused = pipeline.run_tracks_years_fused(key, pack, cfg, 'GL', years,
+                                            k_fuse=2)
+    for yi, yr in enumerate(years):
+        ref_q = pipeline.run_tracks_year(jax.random.fold_in(key, yr), pack,
+                                         cfg, 'GL', yi)
+        ref_f = pipeline.run_tracks_year(
+            jax.random.fold_in(key, yr), pack,
+            cfg.replace(quota_prefix=False), 'GL', yi)
+        _assert_year_equal(ref_f, ref_q)
+        _assert_year_equal(ref_q, fused[yi])

@@ -216,3 +216,41 @@ def test_sharded_multi_segment_identical():
     a, b = np.asarray(t_s['vmax'])[:kv], np.asarray(t_o['vmax'])[:kv]
     fin = np.isfinite(a) | np.isfinite(b)
     np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_sharded_quota_prefix_identical():
+    """The speculative quota prefix on a device mesh: validity keys off the
+    LEADING shard's prefix survivor count (the compacted track axis is
+    shard-major slot-ordered), so the sharded quota year must match the
+    sharded full-width year bit-exactly."""
+    from tropical_cyclone_risk_tpu.models import pipeline
+    mesh = sharding.make_mesh(8)
+    cfg = CFG.replace(seed_batch=8192, tracks_per_year=2)
+    pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
+    cfg = pipeline.auto_integrate_cap(jax.random.key(23), pack, cfg, 'GL')
+    assert cfg.survivors_per_slot is not None
+    # at CPU-test scales the per-shard tuned width is already near the
+    # 256-lane floor, so the auto-derived prefix cannot shrink it; pin an
+    # optimistic rate to force the 256-slot prefix (the environment's real
+    # ~7% survivor rate still fills the 2-track quota from shard 0's
+    # prefix, so the VALID quota path — not the fallback — is exercised)
+    cfg = cfg.replace(survivors_per_slot=0.5)
+    cq = pipeline.quota_cfg(cfg, cfg.tracks_per_year, cfg.seed_batch, 8)
+    assert cq is not None, 'quota prefix must engage on the tuned cfg'
+    assert pipeline.launch_width(cq, cfg.seed_batch // 8) == 256
+    pack = sharding.replicate_pack(pack, mesh)
+    key = jax.random.key(29)
+    yt_q = pipeline.run_tracks_year(key, pack, cfg, 'GL', 0, mesh=mesh)
+    yt_f = pipeline.run_tracks_year(
+        key, pack, cfg.replace(quota_prefix=False), 'GL', 0, mesh=mesh)
+    for name in ('lon', 'lat', 'v', 'm', 'month', 'basin_idx'):
+        np.testing.assert_array_equal(getattr(yt_f, name),
+                                      getattr(yt_q, name), err_msg=name)
+    for name in ('vmax', 'wnds'):
+        a, b = getattr(yt_f, name), getattr(yt_q, name)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                      err_msg=name)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_array_equal(yt_f.n_seeds, yt_q.n_seeds)
+    assert yt_q.lon.shape[0] == cfg.tracks_per_year

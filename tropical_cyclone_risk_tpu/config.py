@@ -181,6 +181,36 @@ class Namelist:
     # fills this in automatically (pipeline.auto_seed_retry_caps, margin
     # 1.25 + 1/128 over the probed curve, 1/64 bucket floor).
     seed_retry_caps: Optional[Tuple[float, ...]] = None
+    # speculative quota prefix (round 4): a production year needs only
+    # tracks_per_year survivors per batch (the reference's rejection loop
+    # STOPS at the quota, util/compute.py:134-210), yet the launch
+    # integrates every integrable slot of a 131072-seed batch — ~100x more
+    # survivors than a typical quota.  When enabled and the runtime has
+    # measured the environment's survivor rate (survivors_per_slot, from
+    # the same pathfinder probe that tunes the compaction caps), the year
+    # driver integrates only a PREFIX of the integrable slots sized so the
+    # quota fills with ~5-sigma headroom (pipeline.quota_cfg), and checks
+    # validity on device: survivors found in the leading shard's prefix
+    # must cover the remaining quota (the compacted track axis is
+    # slot-ordered, so the first quota survivors of the full launch are
+    # then provably inside the prefix — bit-identical outputs, pinned by
+    # tests/test_pipeline_stats.py::test_quota_prefix_*).  A batch whose
+    # prefix cannot settle it relaunches at the tuned full width with the
+    # SAME key (identical proposals — nothing is ever clipped).  Direct
+    # _simulate_batch calls and the throughput bench are unaffected (they
+    # integrate every integrable slot as before).
+    quota_prefix: bool = True
+    # survivors per INTEGRATED scan slot, measured by the runtime's
+    # pathfinder probe (pipeline.auto_integrate_cap, min over the endpoint
+    # years, minus 3-sigma binomial probe noise).  None disables the quota
+    # prefix (e.g. when compaction caps are set explicitly and the probe
+    # never runs).
+    survivors_per_slot: Optional[float] = None
+    # explicit per-device integration-scan width cap (256-multiple); the
+    # MECHANISM the quota prefix rides (pipeline.launch_width takes the
+    # min with the integrate_cap width).  Usually set internally by
+    # pipeline.quota_cfg; None leaves the cap width untouched.
+    integrate_width: Optional[int] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of
@@ -219,19 +249,22 @@ class Namelist:
     # rk_exact_stage_fields or rk_substeps > 1.
     field_sample_stride: int = 3
     # fuse batch 0 of this many simulated years into ONE device program
-    # (pipeline._simulate_years); <= 1 (the default) runs the per-year
-    # pipelined loop instead.  Fusion was built on a dispatch-amortization
-    # theory during the round-3 relay outage; the on-chip A/B
-    # (tools/bench_fused_years.py, 8-year run, seconds/sim-year) measured
-    # the per-year loop at 0.0947 vs fused k=8 0.0981 / k=4 0.0965 /
-    # k=2 0.0941 — the 2-deep pipelined loop already hides the relay's
-    # ~40 ms dispatch, so fusion never wins (k=8 even loses ~4%: one
-    # 8-year group leaves nothing to pipeline the big host fetch behind).
-    # Kept opt-in for hosts with a slower control path; years whose batch 0
-    # cannot settle them (cap overflow, unfilled quota) fall back to the
-    # per-year loop with bit-identical results
+    # (pipeline._simulate_years); <= 1 runs the per-year pipelined loop
+    # instead.  The default moved twice, with measurements both times
+    # (tools/bench_fused_years.py, 8-year run, seconds/sim-year): before
+    # the quota prefix the per-year loop's 2-deep pipelining already hid
+    # the relay's ~40 ms dispatch behind ~90 ms of device work, so fusion
+    # never won (loop 0.0947 vs fused k=8 0.0981 / k=2 0.0941) and round
+    # 4 briefly reverted to the loop.  The quota prefix then cut device
+    # time per year BELOW the dispatch cost, leaving the loop
+    # round-trip-bound — re-measured: loop 0.0836 vs fused k=8 0.0320 /
+    # k=4 0.0294 / k=2 0.0268.  k=2 wins because groups pipeline 2-deep:
+    # small k keeps several groups in flight even on short runs, while
+    # k=8 turns an 8-year run into one unpipelined group.  Years whose
+    # batch 0 cannot settle them (cap overflow, prefix miss, unfilled
+    # quota) fall back to the per-year loop with bit-identical results
     # (pipeline.run_tracks_years_fused).
-    years_per_program: int = 1
+    years_per_program: int = 2
     # freeze storm positions (intensity-only integration) — the reference's
     # Coupled_FAST.debug flag (intensity/coupled_fast.py:32,204-205)
     debug_fixed_position: bool = False

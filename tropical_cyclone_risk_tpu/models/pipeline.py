@@ -60,10 +60,16 @@ def launch_width(cfg: Namelist, n: int) -> int:
     """Width m of the integration scan for an n-seed proposal batch:
     ceil(n * integrate_cap) rounded up to a 256 lane-tile multiple.
     integrate_cap=None (auto mode, resolved by the runtime through
-    auto_integrate_cap) means uncapped for direct launches."""
+    auto_integrate_cap) means uncapped for direct launches.
+    integrate_width (the quota prefix's mechanism, quota_cfg) further
+    caps the width to an explicit per-device slot count."""
     if cfg.integrate_cap is None or cfg.integrate_cap >= 1.0:
-        return n
-    return _round256(n * cfg.integrate_cap, 256, n)
+        m = n
+    else:
+        m = _round256(n * cfg.integrate_cap, 256, n)
+    if cfg.integrate_width is not None:
+        m = min(m, _round256(cfg.integrate_width, 256, n))
+    return m
 
 
 # auto_integrate_cap chooses among these.  1/64 granularity (round 3; was
@@ -75,6 +81,51 @@ def launch_width(cfg: Namelist, n: int) -> int:
 # persistent compile cache already serves; probe noise can flip a 1/64
 # bucket between runs (occasional recompile), accepted for the row win.
 INTEGRATE_CAP_BUCKETS = tuple(i / 64.0 for i in range(2, 65))
+
+# quota-prefix sizing headroom: the prefix expects E survivors where
+# E = quota + QUOTA_Z * sqrt(E) (a z-score on the binomial count), so a
+# prefix miss — which costs one full-width relaunch, nothing statistical —
+# is a ~1e-6-per-batch event even before the probe's own 3-sigma
+# rate-underestimate (auto_integrate_cap) stacks on top
+QUOTA_Z = 5.0
+
+
+def quota_cfg(cfg: Namelist, n_tracks: int, n: int,
+              n_dev: int = 1) -> Optional[Namelist]:
+    """Speculative quota-prefix launch config, or None when not applicable.
+
+    The production year driver needs only `n_tracks` survivors per batch
+    (the reference's rejection loop stops at the quota,
+    util/compute.py:134-175), while the tuned launch integrates EVERY
+    integrable slot.  Because integrate-compaction is slot-stable, the
+    first `n_tracks` survivors of the full launch all live in the first W
+    integrable slots for some W; this config integrates only that prefix,
+    sized from the probed survivor rate with QUOTA_Z-sigma headroom.
+    Validity is checked on device (compact_survivors 'scalars'[4]: the
+    LEADING shard's prefix survivor count — the compacted track axis is
+    shard-major slot-ordered, so q_lead >= needed proves the first
+    `needed` survivors sit inside the prefix); a batch that misses
+    relaunches at the tuned width with the same key, so outputs are
+    bit-identical to never having speculated (trajectories exact; the
+    vmax diagnostic to the usual width-dependent float32 fusion noise).
+
+    The re-compaction schedule is dropped from the prefix launch: its
+    caps were tuned as fractions of the full width, and at prefix widths
+    the 256-lane rounding makes the segments inert scan/compile overhead.
+    n is the GLOBAL proposal batch; n_dev the mesh size (the width is
+    per device)."""
+    if (not cfg.quota_prefix or cfg.integrate_width is not None
+            or not cfg.survivors_per_slot or cfg.survivors_per_slot <= 0.0):
+        return None
+    sqrt_e = (QUOTA_Z + float(np.sqrt(QUOTA_Z * QUOTA_Z
+                                      + 4.0 * n_tracks))) / 2.0
+    n_local = max(1, n // max(1, n_dev))
+    m_local = launch_width(cfg, n_local)
+    w = _round256(sqrt_e * sqrt_e / cfg.survivors_per_slot, 256, n_local)
+    if w >= m_local:
+        return None                     # the prefix would not shrink the scan
+    return cfg.replace(integrate_width=int(w), recompact_schedule=None,
+                       recompact_step=None, recompact_cap=None)
 
 
 def auto_seed_retry_caps(key, pack: FieldPack, cfg: Namelist, basin_id: str,
@@ -129,7 +180,12 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     # (full seed_batch proposals) already run with compacted retry rounds
     cfg = auto_seed_retry_caps(
         key, fields_mod.slice_pack_year(pack, cfg, 0), cfg, basin_id)
-    n_years = max(1, cfg.n_months // 12)
+    # probe only years the pack actually holds: a configured year beyond
+    # the pack's planes slices to a clamped, vpot-zeroed window
+    # (fields.year_plane_indices) whose probe sees zero integrable seeds
+    # and zero survivors — it cannot inform the caps and would zero the
+    # quota prefix's survivor rate
+    n_years = max(1, min(cfg.n_months, pack.n_planes) // 12)
     fracs = []
     for yi in sorted({0, n_years - 1}):
         pack_y = fields_mod.slice_pack_year(pack, cfg, yi)
@@ -160,13 +216,25 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
         # row-proportional; the uncapped fallback + bump_caps re-tune
         # still guard any non-monotone straggler batch).
         n_p = min(cfg.seed_batch, 8192)
+        m_p = float(launch_width(cfg, n_p))
         counts = np.zeros((cfg.n_steps_output,), np.int64)
+        keep_rates = []
         for yi in sorted({0, n_years - 1}):
-            counts = np.maximum(counts, np.asarray(_alive_curve_probe(
+            curve_y, keeps_y = _alive_curve_probe(
                 jax.random.fold_in(key, 0x9e3779 + yi),
                 fields_mod.slice_pack_year(pack, cfg, yi), cfg, basin_id,
-                n_p)))
-        curve = counts / float(launch_width(cfg, n_p))
+                n_p)
+            counts = np.maximum(counts, np.asarray(curve_y))
+            keeps_y = float(np.asarray(keeps_y))
+            # 3-sigma binomial headroom against probe sampling noise: the
+            # quota prefix sizes its width from the LOWER rate bound so an
+            # optimistic probe cannot make prefix fallbacks routine
+            keep_rates.append(
+                max(0.0, keeps_y - 3.0 * np.sqrt(keeps_y + 1.0)) / m_p)
+        if cfg.quota_prefix and cfg.survivors_per_slot is None \
+                and min(keep_rates) > 0.0:
+            cfg = cfg.replace(survivors_per_slot=min(keep_rates))
+        curve = counts / m_p
         T = cfg.n_steps_output
         steps_2d = int(2 * 24 * 3600 / cfg.output_interval_s)
         # boundary candidates every 30 output steps (snapped to stride
@@ -212,10 +280,13 @@ def auto_integrate_cap(key, pack: FieldPack, cfg: Namelist, basin_id: str,
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n'))
 def _alive_curve_probe(key, pack, cfg, basin_id, n):
-    """Alive count per output step of one small launch ([T] int32)."""
+    """(alive count per output step [T] int32, survivor count [] int32)
+    of one small launch — the alive curve tunes the re-compaction
+    schedule, the survivor count the quota prefix's survivors_per_slot."""
     body = launch_body(key, pack, cfg, basin_id, n,
                        jnp.int32(cfg.start_month - 1))
-    return body['tm']['alive'].sum(axis=1, dtype=jnp.int32)
+    return (body['tm']['alive'].sum(axis=1, dtype=jnp.int32),
+            body['trk']['keep'].sum(dtype=jnp.int32))
 
 
 def recompact_width(cfg: Namelist, m: int) -> int:
@@ -465,7 +536,8 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
 
 
 def compact_survivors(body: dict, m: int, k_max: int,
-                      constrain=lambda a: a, n_basins: int = 0):
+                      constrain=lambda a: a, n_basins: int = 0,
+                      n_shards: int = 1):
     """Survivors first in slot order, truncated to k_max; returns the
     (tracks, meta) launch contract ([k_max, T] NaN-masked track buffers).
     m is the integration width (launch_width per device, summed over the
@@ -476,9 +548,14 @@ def compact_survivors(body: dict, m: int, k_max: int,
     INSIDE this (already-dispatched) program — every extra program
     execution through this image's TPU relay costs ~40 ms regardless of
     size (tools/bench_stages.py), so run_tracks_year reads these outputs
-    instead of dispatching _batch_scalars/_count_seeds_* per batch:
-      'scalars'  [4] int32: survivors, integrate-cap overflow, recompact
-                 overflow, dropped slots;
+    instead of dispatching _count_seeds_* per batch:
+      'scalars'  [5] int32: survivors, integrate-cap overflow, recompact
+                 overflow, dropped slots, and the LEADING shard's
+                 survivor count (== survivors when n_shards == 1) — the
+                 quota prefix's validity scalar: the compacted track axis
+                 is shard-major slot-ordered, so q_lead >= needed proves
+                 the first `needed` survivors sit inside the integrated
+                 prefix (quota_cfg);
       'spm_upto' [n_basins, 12]: seeds counted up to the k_max-th
                  survivor's slot (the stopping rule for a batch whose
                  accepted take equals its materialized k_max rows —
@@ -532,9 +609,10 @@ def compact_survivors(body: dict, m: int, k_max: int,
             'overflow': constrain(body['overflow'])}
     if n_basins:
         over = meta['overflow'].reshape(-1, 2).sum(axis=0, dtype=jnp.int32)
+        q_lead = meta['keep'].reshape(n_shards, -1)[0].sum(dtype=jnp.int32)
         meta['scalars'] = constrain(jnp.stack(
             [meta['keep'].sum(dtype=jnp.int32), over[0], over[1],
-             meta['dropped'].sum(dtype=jnp.int32)]))
+             meta['dropped'].sum(dtype=jnp.int32), q_lead]))
         meta['spm_upto'] = constrain(_count_upto_body(
             meta['keep'], meta['counted'], meta['basin_idx'],
             meta['month'], k_max - 1, n_basins))
@@ -543,7 +621,30 @@ def compact_survivors(body: dict, m: int, k_max: int,
     return tracks, meta
 
 
+def _strip_tuning(cfg: Namelist) -> Namelist:
+    """Drop host-only tuning metadata before a cfg keys a compiled program.
+
+    survivors_per_slot is a probe MEASUREMENT with binomial noise: two
+    runs of the same configuration measure slightly different rates, and
+    a cfg carrying the raw float would recompile the (minutes-long,
+    remotely-compiled) launch program on every production run even though
+    the actual program — whose shape depends only on the derived
+    integrate_width / cap buckets, all snapped to stable buckets — is
+    identical.  Launch tracing never reads the rate (quota_cfg consumes
+    it host-side), so every jit/compile-cache boundary strips it here."""
+    if cfg.survivors_per_slot is None:
+        return cfg
+    return cfg.replace(survivors_per_slot=None)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
+def _simulate_batch_jit(key, pack: FieldPack, cfg: Namelist, basin_id: str,
+                        n: int, k_max: int, plane_offset):
+    body = launch_body(key, pack, cfg, basin_id, n, plane_offset)
+    return compact_survivors(body, launch_width(cfg, n), k_max,
+                             n_basins=len(cfg.basin_ids_sorted()))
+
+
 def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
                     n: int, k_max: int, plane_offset):
     """One fused device launch: propose n seeds, integrate, filter, compact.
@@ -551,15 +652,17 @@ def _simulate_batch(key, pack: FieldPack, cfg: Namelist, basin_id: str,
     Returns per-slot metadata plus the first k_max surviving tracks
     (slot-ordered).  This function is the throughput benchmark unit.
     """
-    body = launch_body(key, pack, cfg, basin_id, n, plane_offset)
-    return compact_survivors(body, launch_width(cfg, n), k_max,
-                             n_basins=len(cfg.basin_ids_sorted()))
+    return _simulate_batch_jit(key, pack, _strip_tuning(cfg), basin_id,
+                               n, k_max, plane_offset)
+
+
+_simulate_batch._cache_size = _simulate_batch_jit._cache_size
 
 
 @functools.partial(jax.jit,
                    static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
-def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
-                      n: int, k_max: int, plane_offset):
+def _simulate_batches_jit(keys, pack: FieldPack, cfg: Namelist,
+                          basin_id: str, n: int, k_max: int, plane_offset):
     """K proposal batches fused into ONE device program (lax.scan over the
     per-batch keys [K]): every scan width stays identical to a single
     launch — unlike widening the batch, which degrades the per-row gather
@@ -577,6 +680,14 @@ def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
 
     _, out = jax.lax.scan(body, None, keys)
     return out
+
+
+def _simulate_batches(keys, pack: FieldPack, cfg: Namelist, basin_id: str,
+                      n: int, k_max: int, plane_offset):
+    """See _simulate_batches_jit; strips host-only tuning metadata from
+    the compile key (_strip_tuning)."""
+    return _simulate_batches_jit(keys, pack, _strip_tuning(cfg), basin_id,
+                                 n, k_max, plane_offset)
 
 
 def years_scan(key, years, plane_idx, vpot_valid, pack: FieldPack,
@@ -607,8 +718,8 @@ def years_scan(key, years, plane_idx, vpot_valid, pack: FieldPack,
 
 @functools.partial(jax.jit,
                    static_argnames=('cfg', 'basin_id', 'n', 'k_max'))
-def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
-                    cfg: Namelist, basin_id: str, n: int, k_max: int):
+def _simulate_years_jit(key, years, plane_idx, vpot_valid, pack: FieldPack,
+                        cfg: Namelist, basin_id: str, n: int, k_max: int):
     """Batch 0 of K simulated years fused into ONE device program.
 
     The steady-state production year is one launch (the first seed batch
@@ -634,15 +745,12 @@ def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
                                     n_basins=n_basins))
 
 
-@jax.jit
-def _batch_scalars(meta):
-    """(survivors, integrate-cap overflow, recompact overflow, dropped
-    slots) as one tiny fetch.  The overflow vector concatenates
-    [integrate-cap, recompact] entries per device shard — even/odd
-    positions respectively (launch_body)."""
-    over = meta['overflow'].reshape(-1, 2).sum(axis=0, dtype=jnp.int32)
-    return jnp.stack([meta['keep'].sum(dtype=jnp.int32), over[0], over[1],
-                      meta['dropped'].sum(dtype=jnp.int32)])
+def _simulate_years(key, years, plane_idx, vpot_valid, pack: FieldPack,
+                    cfg: Namelist, basin_id: str, n: int, k_max: int):
+    """See _simulate_years_jit; strips host-only tuning metadata from the
+    compile key (_strip_tuning)."""
+    return _simulate_years_jit(key, years, plane_idx, vpot_valid, pack,
+                               _strip_tuning(cfg), basin_id, n, k_max)
 
 
 def _count_all_body(counted, basin_idx, month, n_basins: int):
@@ -696,9 +804,13 @@ def prefetch_year_batch0(key: jax.Array, pack: FieldPack, cfg: Namelist,
     n_tracks = n_tracks or cfg.tracks_per_year
     from tropical_cyclone_risk_tpu.models import fields as fields_mod
     pack_y = fields_mod.slice_pack_year(pack, cfg, year_idx)
-    return _dispatch_batch(jax.random.fold_in(key, 0), pack_y, cfg,
+    # the same speculative-quota derivation run_tracks_year applies to its
+    # own dispatches, so a prefetched batch 0 is interpreted consistently
+    n_dev = mesh.devices.size if mesh is not None else 1
+    cfg_d = quota_cfg(cfg, n_tracks, cfg.seed_batch, n_dev) or cfg
+    return _dispatch_batch(jax.random.fold_in(key, 0), pack_y, cfg_d,
                            basin_id, cfg.seed_batch,
-                           min(n_tracks, launch_width(cfg, cfg.seed_batch)),
+                           min(n_tracks, launch_width(cfg_d, cfg.seed_batch)),
                            jnp.int32(cfg.start_month - 1), mesh)
 
 
@@ -767,6 +879,13 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     n_basins = len(cfg.basin_ids_sorted())
     N = cfg.seed_batch
     k_max = min(n_tracks, launch_width(cfg, N))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    # speculative quota prefix: integrate only a prefix of the integrable
+    # slots sized for the year quota (quota_cfg); a batch whose prefix
+    # cannot settle it relaunches at the tuned width with the same key
+    cfg_q = quota_cfg(cfg, n_tracks, N, n_dev)
+    k_max_q = (min(n_tracks, launch_width(cfg_q, N))
+               if cfg_q is not None else k_max)
 
     # one compiled launch shape for every year of every run: slice the pack
     # to this year's 12 calendar-month planes (fields.slice_pack_year) —
@@ -798,12 +917,16 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
     n_proposed = 0
     got = 0
     for b_i in range(max_batches):
+        q_mode = cfg_q is not None
         if b_i == 0 and first_batch is not None:
+            # the prefetch dispatched with the SAME quota derivation
+            # (prefetch_year_batch0 applies quota_cfg to the cfg it gets)
             tracks, meta = first_batch
         else:
             tracks, meta = _dispatch_batch(
-                jax.random.fold_in(key, b_i), get_pack_y(), cfg, basin_id,
-                N, k_max, plane_off, mesh)
+                jax.random.fold_in(key, b_i), get_pack_y(),
+                cfg_q if q_mode else cfg, basin_id,
+                N, k_max_q if q_mode else k_max, plane_off, mesh)
         # ONE host fetch for every per-batch decision: each device_get
         # round trip through the relay costs ~28 ms even for scalars, so
         # the stopping-rule tables ride along with the scalars instead of
@@ -811,9 +934,30 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
         # 12 int32 — bytes are free, round trips are not)
         dec = jax.device_get((meta['scalars'], meta['spm_upto'],
                               meta['spm_all']))
-        n_new, n_over1, n_over2, n_drop = (int(x) for x in dec[0])
+        n_new, n_over1, n_over2, n_drop = (int(x) for x in dec[0][:4])
         n_proposed += N
         n_dropped += n_drop
+        if q_mode:
+            # validity: the leading shard's prefix survivors must cover
+            # the remaining quota (then the accepted survivors are
+            # provably the first ones of the full launch, in slot order)
+            # and no recompaction boundary overflowed (none configured by
+            # quota_cfg, but an explicit integrate_width could combine).
+            # The integrate-cap 'overflow' (n_over1) is EXPECTED here —
+            # the prefix truncates integrable slots by design.
+            if int(dec[0][4]) >= n_tracks - got and n_over2 == 0:
+                n_over1 = n_over2 = 0       # prefix settles this batch
+            else:
+                # prefix miss: relaunch at the tuned width with the SAME
+                # key (identical proposals — bit-identical to never
+                # having speculated), then fall through to the tuned
+                # path's own overflow handling
+                tracks, meta = _dispatch_batch(
+                    jax.random.fold_in(key, b_i), get_pack_y(), cfg,
+                    basin_id, N, k_max, plane_off, mesh)
+                dec = jax.device_get((meta['scalars'], meta['spm_upto'],
+                                      meta['spm_all']))
+                n_new, n_over1, n_over2, _ = (int(x) for x in dec[0][:4])
         if n_over1 + n_over2 > 0:
             # more integrable (or boundary-alive) seeds than a compaction
             # cap: redo this batch uncapped (same key -> identical
@@ -839,6 +983,9 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             n_new = int(dec[0][0])
             cfg = bump_caps(cfg, n_over1, n_over2, N)
             k_max = min(n_tracks, launch_width(cfg, N))
+            cfg_q = quota_cfg(cfg, n_tracks, N, n_dev)
+            k_max_q = (min(n_tracks, launch_width(cfg_q, N))
+                       if cfg_q is not None else k_max)
             if adapt is not None:
                 adapt['cfg'] = cfg
             logging.getLogger('tc_risk_tpu').warning(
@@ -955,9 +1102,16 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
               for i in range(0, len(years), k_fuse)]
     t0 = time_mod.time()
 
+    n_dev = mesh.devices.size if mesh is not None else 1
+
     def dispatch(g):
         cfg_g = adapt.get('cfg', cfg) if adapt is not None else cfg
-        k_max = min(n_tracks, launch_width(cfg_g, N))
+        # speculative quota prefix, same derivation as run_tracks_year —
+        # a fallback year reuses this launch as its batch 0, so both
+        # sides must agree on the launch's interpretation
+        cfg_q = quota_cfg(cfg_g, n_tracks, N, n_dev)
+        cfg_d = cfg_q if cfg_q is not None else cfg_g
+        k_max = min(n_tracks, launch_width(cfg_d, N))
         # pad a short TAIL group to the full k_fuse shape (duplicating the
         # last year; extraction below reads only the real entries): one
         # program shape for every group of the run — a second shape would
@@ -973,16 +1127,16 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
         if mesh is not None:
             from tropical_cyclone_risk_tpu.parallel import sharding
             out = sharding.simulate_years_sharded(
-                mesh, key, yrs, idx, vld, pack, cfg_g, basin_id, N, k_max)
+                mesh, key, yrs, idx, vld, pack, cfg_d, basin_id, N, k_max)
         else:
-            out = _simulate_years(key, yrs, idx, vld, pack, cfg_g,
+            out = _simulate_years(key, yrs, idx, vld, pack, cfg_d,
                                   basin_id, N, k_max)
-        return out, cfg_g, k_max
+        return out, cfg_g, k_max, cfg_q is not None
 
     results: List[Optional[YearTracks]] = [None] * len(years)
     pending = dispatch(groups[0]) if groups else None
     for gi, g in enumerate(groups):
-        (tracks, meta), cfg_g, k_max = pending
+        (tracks, meta), cfg_g, k_max, q_mode = pending
         pending = dispatch(groups[gi + 1]) if gi + 1 < len(groups) else None
         # one host fetch per group: every per-year decision plus the track
         # rows (bytes through the relay are cheap; round trips are not)
@@ -991,9 +1145,19 @@ def run_tracks_years_fused(key: jax.Array, pack: FieldPack, cfg: Namelist,
                                      'wnds', 'month', 'basin_idx')},
              meta['scalars'], meta['spm_upto']))
         for j, yi in enumerate(g):
-            n_new, n_over1, n_over2, n_drop = (int(x) for x in scalars[j])
-            if n_over1 + n_over2 == 0 and n_new >= n_tracks \
-                    and k_max >= n_tracks:
+            n_new, n_over1, n_over2, n_drop = (int(x)
+                                               for x in scalars[j][:4])
+            if q_mode:
+                # quota-prefix launch: the integrate-cap overflow is the
+                # prefix truncation itself (expected); a year settles when
+                # the leading shard's prefix survivors cover the quota
+                settled = (n_over2 == 0
+                           and int(scalars[j][4]) >= n_tracks
+                           and k_max >= n_tracks)
+            else:
+                settled = (n_over1 + n_over2 == 0 and n_new >= n_tracks
+                           and k_max >= n_tracks)
+            if settled:
                 # steady state: quota filled by batch 0, caps held.  The
                 # stopping-rule seed counts for take == k_max were
                 # precomputed inside the launch (compact_survivors).

@@ -96,7 +96,7 @@ def _build_sharded_batch(mesh: Mesh, cfg: Namelist, basin_id: str,
         constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
         return pipeline.compact_survivors(
             body, m_total, k_max, constrain,
-            n_basins=len(cfg.basin_ids_sorted()))
+            n_basins=len(cfg.basin_ids_sorted()), n_shards=n_dev)
 
     rep = NamedSharding(mesh, P())
     return jax.jit(launch, in_shardings=(rep, rep, rep))
@@ -106,7 +106,8 @@ def simulate_batch_sharded(mesh: Mesh, key: jax.Array, pack: FieldPack,
                            cfg: Namelist, basin_id: str, n: int, k_max: int,
                            plane_offset) -> Tuple[dict, dict]:
     """SPMD equivalent of pipeline._simulate_batch over a seed mesh."""
-    fn = _build_sharded_batch(mesh, cfg, basin_id, n, k_max)
+    fn = _build_sharded_batch(mesh, pipeline._strip_tuning(cfg), basin_id,
+                              n, k_max)
     return fn(key, jnp.asarray(plane_offset, jnp.int32), pack)
 
 
@@ -157,7 +158,8 @@ def _build_sharded_years(mesh: Mesh, cfg: Namelist, basin_id: str,
         return pipeline.years_scan(
             key, years, plane_idx, vpot_valid, pack, sharded,
             lambda b: pipeline.compact_survivors(
-                b, m_total, k_max, constrain, n_basins=n_basins))
+                b, m_total, k_max, constrain, n_basins=n_basins,
+                n_shards=n_dev))
 
     return jax.jit(launch, in_shardings=(rep, rep, rep, rep, rep))
 
@@ -167,5 +169,6 @@ def simulate_years_sharded(mesh: Mesh, key: jax.Array, years, plane_idx,
                            basin_id: str, n: int, k_max: int
                            ) -> Tuple[dict, dict]:
     """SPMD equivalent of pipeline._simulate_years over a seed mesh."""
-    fn = _build_sharded_years(mesh, cfg, basin_id, n, k_max)
+    fn = _build_sharded_years(mesh, pipeline._strip_tuning(cfg), basin_id,
+                              n, k_max)
     return fn(key, years, plane_idx, vpot_valid, pack)
