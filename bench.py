@@ -23,14 +23,17 @@ What each emitted number counts (round-3 clarification):
 - detail.surviving_tcs_per_min: storms passing every TC filter per minute
   (the survivors written to the output NetCDF).
 - detail.sim_years_per_min: production steady state — simulated years per
-  minute through the runtime.run_downscaling default, the per-year
-  pipelined loop (quota fill, seed accounting, stopping rule, host fetch
-  of survivor tracks, one program per year with the next year's batch 0
-  kept in flight), the end-to-end rate a real run sustains.
-  detail.seconds_per_sim_year_fused8 is the same work through the opt-in
-  fused multi-year driver at years_per_program=8 — round 3's default,
-  reverted after the round-4 on-chip A/B (tools/bench_fused_years.py)
-  showed the loop is never slower — kept for cross-round comparison.
+  minute through the runtime.run_downscaling default (quota fill, seed
+  accounting, stopping rule, host fetch of survivor tracks), the
+  end-to-end rate a real run sustains.  Since round 4 the year driver
+  integrates only a speculative quota-sized prefix of the integrable
+  slots with an exact on-device validity check (pipeline.quota_cfg;
+  bit-identical outputs, 1.59x measured), which dropped per-year device
+  time below the relay's ~40 ms dispatch and flipped the default driver
+  to the fused multi-year program at years_per_program=2 (another 3.1x;
+  docs/performance.md).  detail.seconds_per_sim_year_unfused_loop is the
+  same work through the per-year pipelined loop (years_per_program=1),
+  kept for cross-round comparison with the pre-quota defaults.
 
 Prints ONE JSON line.  vs_baseline is measured against the driver-set north
 star of 100k storm lifecycles/min/chip (BASELINE.json; the reference itself
@@ -111,20 +114,37 @@ def main():
     tcs_min = survivors / dt * 60.0
 
     # production steady state: simulated years/min through the runtime
-    # default — the per-year pipelined loop (one program per year, one
-    # launch kept in flight across year boundaries; the round-4 on-chip
-    # A/B flipped the default back from the fused multi-year driver,
-    # tools/bench_fused_years.py / docs/performance.md).  An 8-year
-    # synthetic pack (96 monthly planes) exercises real per-year field
-    # slicing.
+    # default — the fused multi-year driver at years_per_program=2 (batch
+    # 0 of 2 years per device program, two group programs in flight; the
+    # quota prefix cut per-year device time below the relay's ~40 ms
+    # dispatch, which made program-count the binding cost and flipped the
+    # default back to fusion — tools/bench_fused_years.py,
+    # docs/performance.md).  An 8-year synthetic pack (96 monthly planes)
+    # exercises real per-year field slicing.
     n_years = 8
     pack_y = jax.device_put(synthetic_pack(cfg, n_planes=12 * n_years,
                                            nlat=181, nlon=360, seed=0))
     years = list(range(2016, 2016 + n_years))
+    k_fuse = max(1, cfg.years_per_program)
+    out_f = pipeline.run_tracks_years_fused(jax.random.key(99), pack_y,
+                                            cfg, 'GL', years,
+                                            k_fuse=k_fuse)       # warm
+    assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_f)
+    dt_years = None
+    for r in range(2):                    # second pass: everything warm
+        t1 = time.perf_counter()
+        out_f = pipeline.run_tracks_years_fused(
+            jax.random.key(100 + r), pack_y, cfg, 'GL', years,
+            k_fuse=k_fuse)
+        assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_f)
+        dt_years = time.perf_counter() - t1
+
+    # the per-year pipelined loop (years_per_program=1), kept for
+    # cross-round comparison with the pre-quota defaults
     ykey = jax.random.key(100)
     pipeline.run_tracks_year(jax.random.fold_in(ykey, 9999), pack_y, cfg,
                              'GL', 0)                      # warm compiles
-    dt_years = None
+    dt_loop = None
     for _ in range(2):                    # second pass: everything warm
         pending = pipeline.prefetch_year_batch0(
             jax.random.fold_in(ykey, 0), pack_y, cfg, 'GL', 0)
@@ -138,17 +158,7 @@ def main():
                 first_batch=pending)
             assert out_y.lon.shape[0] == cfg.tracks_per_year
             pending = nxt
-        dt_years = time.perf_counter() - t1
-
-    # the opt-in fused multi-year driver (years_per_program > 1), kept
-    # for cross-round comparison with BENCH_r03's default
-    out_f = pipeline.run_tracks_years_fused(jax.random.key(99), pack_y,
-                                            cfg, 'GL', years, k_fuse=8)
-    assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_f)
-    t2 = time.perf_counter()
-    pipeline.run_tracks_years_fused(jax.random.key(100), pack_y, cfg,
-                                    'GL', years, k_fuse=8)
-    dt_fused = time.perf_counter() - t2
+        dt_loop = time.perf_counter() - t1
 
     dev = jax.devices()[0]
     print(json.dumps({
@@ -164,7 +174,8 @@ def main():
             'surviving_tcs_per_min': round(tcs_min, 1),
             'sim_years_per_min': round(n_years / dt_years * 60.0, 2),
             'seconds_per_sim_year': round(dt_years / n_years, 4),
-            'seconds_per_sim_year_fused8': round(dt_fused / n_years, 4),
+            'seconds_per_sim_year_unfused_loop': round(dt_loop / n_years,
+                                                       4),
             'survivors_per_launch': round(survivors / n_iter, 1),
             'integrate_cap': cfg.integrate_cap,
             'recompact': (list(cfg.recompact_schedule)
