@@ -1,6 +1,8 @@
 """Analysis-library tests (reference notebook recipes as code) plus the
 standalone BAM tracker and download request contracts."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -167,6 +169,52 @@ def test_download_request_shapes():
     cfg = Namelist()
     with pytest.raises(RuntimeError, match='cdsapi'):
         download_era5.download_year(cfg, 2020)
+
+
+def test_cmip6_offline_url_lists(tmp_path, monkeypatch):
+    """Pre-fetched acquisition (the reference's bundled-wget-script mode,
+    scripts/download_cmip6.py:17-34 + scripts/GFDL-CM4/wget_*.sh): ESGF
+    wget scripts and plain URL lists are consumed without any live search
+    endpoint; downloads are idempotent and atomic."""
+    from tropical_cyclone_risk_tpu.scripts import download_cmip6
+
+    # a standard ESGF-wget download_files section (the generator's format)
+    wget = tmp_path / 'wget_ua_day.sh'
+    wget.write_text(
+        "#!/bin/bash\ndownload_files=$(cat <<EOF--dataset.file.url\n"
+        "'ua_day_GFDL-CM4_ssp585_r1i1p1f1_gr1_20150101-20341231.nc' "
+        "'http://esgf.example/ua_day_1.nc' 'SHA256' 'abc123'\n"
+        "'ua_day_GFDL-CM4_ssp585_r1i1p1f1_gr1_20350101-20541231.nc' "
+        "'http://esgf.example/ua_day_2.nc' 'SHA256' 'def456'\n"
+        "EOF--dataset.file.url\n)\n")
+    plain = tmp_path / 'tos_urls.txt'
+    plain.write_text("# tos Omon\nhttp://esgf.example/tos_Omon_x.nc\n")
+
+    pairs = download_cmip6.file_urls_from_lists([str(tmp_path)])
+    assert ('tos_Omon_x.nc', 'http://esgf.example/tos_Omon_x.nc') in pairs
+    assert len(pairs) == 3
+    assert sum(n.startswith('ua_day_GFDL-CM4') for n, _ in pairs) == 2
+
+    # download_all(url_lists=...) never touches the search API
+    fetched = []
+    monkeypatch.setattr(download_cmip6.urllib.request, 'urlretrieve',
+                        lambda url, tmp: (fetched.append(url),
+                                          open(tmp, 'wb').write(b'x')))
+    monkeypatch.setattr(
+        download_cmip6, 'list_file_urls',
+        lambda *a, **k: pytest.fail('search API must not be queried'))
+    cfg = Namelist().replace(base_directory=str(tmp_path / 'data'))
+    out = download_cmip6.download_all(cfg, url_lists=[str(tmp_path)])
+    assert len(out) == 3 and all(os.path.exists(p) for p in out)
+    # idempotent rerun: nothing re-fetched
+    n0 = len(fetched)
+    download_cmip6.download_all(cfg, url_lists=[str(tmp_path)])
+    assert len(fetched) == n0
+
+    with pytest.raises(ValueError, match='no ESGF wget entries'):
+        empty = tmp_path / 'empty.txt'
+        empty.write_text('# nothing\n')
+        download_cmip6.file_urls_from_lists([str(empty)])
 
 
 def test_landfalls():
