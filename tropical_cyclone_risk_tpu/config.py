@@ -212,6 +212,13 @@ class Namelist:
     # pipeline.quota_cfg; None leaves the cap width untouched.
     integrate_width: Optional[int] = None
     rk_substeps: int = 1              # RK4 substeps per output interval
+    # lax.scan unroll factor for the integration scan bodies (XLA replays
+    # the body this many times per loop iteration, trading compile time /
+    # code size for loop bookkeeping).  Semantics are unchanged at any
+    # value (same math per step); op fusion across unrolled iterations can
+    # move float32 rounding at ULP level.  See tools/bench_unroll.py for
+    # the on-chip measurement at the bench shape.
+    scan_unroll: int = 1
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of
     # freezing them at the seed month (the reference freezes:

@@ -160,7 +160,8 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
         out = (y.lon, y.lat, y.v, y.m, wnds0, alive)
         return (y1, alive1), out
 
-    carry_end, outs = jax.lax.scan(step, (y0, alive0), xs)
+    carry_end, outs = jax.lax.scan(step, (y0, alive0), xs,
+                                   unroll=max(1, int(cfg.scan_unroll)))
     if outs_b is not None:
         outs = tuple(jnp.concatenate([a, b], axis=0)
                      for a, b in zip(outs_b, outs))
@@ -207,7 +208,8 @@ def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
         out = tuple(jnp.stack(ch) for ch in zip(*outs))
         return (y, alive), out
 
-    carry_end, outs = jax.lax.scan(block, (y0, alive0), (kb, f_blk))
+    carry_end, outs = jax.lax.scan(block, (y0, alive0), (kb, f_blk),
+                                   unroll=max(1, int(cfg.scan_unroll)))
     # [n_blocks, stride, ...] -> [n_steps, ...]
     outs = tuple(o.reshape((n_steps,) + o.shape[2:]) for o in outs)
     return outs, carry_end
