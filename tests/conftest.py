@@ -24,3 +24,31 @@ jax.config.update('jax_threefry_partitionable', True)
 assert len(jax.devices()) == 8, (
     'expected 8 virtual CPU devices; backend hijack not defeated: '
     f'{jax.devices()}')
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        '--slow', action='store_true', default=False,
+        help='include tests marked slow (the full lane: large-sample '
+             'parity fixtures, notebook execution, multi-process runs)')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: multi-minute test, excluded from the default '
+        'lane; run with --slow (or TC_FULL_SUITE=1)')
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r3 item 7): `pytest -q` is the fast inner
+    loop; `pytest -q --slow` (or TC_FULL_SUITE=1, for CI / round gates)
+    runs everything."""
+    if config.getoption('--slow') or os.environ.get('TC_FULL_SUITE'):
+        return
+    skip = pytest.mark.skip(
+        reason='slow lane: pass --slow or set TC_FULL_SUITE=1')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

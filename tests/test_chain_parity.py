@@ -40,6 +40,9 @@ from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
 
 from reference_chain import ReferenceChain
 
+pytestmark = pytest.mark.slow  # whole-chain statistical parity at ratcheted sample sizes (~9 min)
+
+
 CFG = Namelist(seed_batch=8192)
 N_REF_SEEDS = 40000      # counted seeds for the sequential chain (~7 min)
 N_TPU_LAUNCHES = 20

@@ -16,6 +16,10 @@ from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.io import netcdf
 from tropical_cyclone_risk_tpu.models.fields import synthetic_pack
 from tropical_cyclone_risk_tpu import runtime
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end notebook execution on a freshly generated ensemble (~2 min)
+
 
 NB = os.path.join(os.path.dirname(__file__), '..', 'notebooks',
                   'sample_analysis.ipynb')
