@@ -216,8 +216,12 @@ class Namelist:
     # the body this many times per loop iteration, trading compile time /
     # code size for loop bookkeeping).  Semantics are unchanged at any
     # value (same math per step); op fusion across unrolled iterations can
-    # move float32 rounding at ULP level.  See tools/bench_unroll.py for
-    # the on-chip measurement at the bench shape.
+    # move float32 rounding at ULP level.  Measured on the chip at the
+    # bench shape (tools/bench_unroll.py, 2026-08-19, quiet host):
+    # unroll=1 85.7 ms/launch vs unroll=2 85.1 — within run-to-run noise
+    # (a loaded-host pass had shown +4.5% at 2, which did not replicate
+    # clean; unroll=4 loses outright at 90.2).  The stride-block body
+    # already amortizes the loop overhead, so 1 stays the default.
     scan_unroll: int = 1
     sim_dtype: str = 'float32'
     # linearly interpolate monthly field planes in track time instead of
