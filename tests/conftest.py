@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_threefry_partitionable', True)
+# persistent compile cache: the expensive programs (the fused launches,
+# 15-60 s each on CPU) recompile in EVERY pytest process otherwise —
+# warm-cache suite reruns drop by minutes, and fewer in-process compiles
+# also dodge the XLA CPU compiler's segfault flake (CLAUDE.md), which
+# strikes after ~100-150 compiles in one process.  Keys include platform
+# + HLO, so sharing the TPU tools' cache dir is safe.
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_comp_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 assert len(jax.devices()) == 8, (
     'expected 8 virtual CPU devices; backend hijack not defeated: '

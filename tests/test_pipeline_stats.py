@@ -5,6 +5,7 @@ wall-clock reseeding)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from scipy.stats import ks_2samp
 
@@ -776,6 +777,7 @@ def test_fused_years_short_circuit(monkeypatch):
     assert len(seen) == 2
 
 
+@pytest.mark.slow  # e2e twin of test_fused_years_identical through runtime+NetCDF (~3 min)
 def test_run_downscaling_fused_matches_per_year(tmp_path):
     """runtime.run_downscaling with the fused multi-year program
     (years_per_program > 1) writes the same tracks file as the per-year
@@ -868,6 +870,7 @@ def test_quota_prefix_miss_falls_back():
     assert yt_m.lon.shape[0] == quota
 
 
+@pytest.mark.slow  # multi-year quota sweep; the valid/miss/fused pieces are covered separately (~5 min)
 def test_quota_prefix_fused_years_identical():
     """The fused multi-year driver under the quota prefix settles years by
     the leading-prefix survivor scalar and still matches the per-year

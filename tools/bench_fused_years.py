@@ -12,6 +12,14 @@ This tool measures seconds/simulated-year for the per-year pipelined
 loop and for run_tracks_years_fused at k_fuse in {2, 4, 8} on the same
 8-year synthetic pack bench.py uses (same program shapes -> warm
 compile cache for k_fuse=8 and the unfused loop).  Run on a quiet host.
+
+Round-4 follow-up: k trades dispatch amortization (~40 ms relay round
+trip per program, split across k years) against group-pipeline depth
+(an L-year run has L/k groups; 2-deep pipelining needs several groups
+to hide the per-group host fetch), so the best k GROWS with the run
+length — the original 8-year A/B could only see the short-run side.
+Usage: bench_fused_years.py [N_YEARS] [k ...] (defaults: 8 years,
+loop + k in {8, 4, 2}; pass 0 as a k to run the per-year loop).
 """
 import time
 
@@ -69,24 +77,32 @@ def time_loop(pack, cfg, years):
 
 
 def main():
+    n_years = int(sys.argv[1]) if len(sys.argv) > 1 else N_YEARS
+    ks = ([int(a) for a in sys.argv[2:]] if len(sys.argv) > 2
+          else [0, 8, 4, 2])
     cfg = Namelist().replace(seed_batch=N)
     pack12 = jax.device_put(synthetic_pack(cfg, n_planes=12, nlat=181,
                                            nlon=360, seed=0))
     cfg = pipeline.auto_integrate_cap(jax.random.key(0), pack12, cfg, 'GL')
     print(f'caps: integrate={cfg.integrate_cap} '
           f'sched={cfg.recompact_schedule}', flush=True)
-    pack = jax.device_put(synthetic_pack(cfg, n_planes=12 * N_YEARS,
+    t_p = time.perf_counter()
+    pack = jax.device_put(synthetic_pack(cfg, n_planes=12 * n_years,
                                          nlat=181, nlon=360, seed=0))
-    years = list(range(2016, 2016 + N_YEARS))
+    jax.block_until_ready(pack.cell4)
+    print(f'pack: {12 * n_years} planes '
+          f'[device_put {time.perf_counter() - t_p:.0f} s]', flush=True)
+    years = list(range(2016, 2016 + n_years))
 
-    s = time_loop(pack, cfg, years)
-    print(f'per-year loop (2-deep pipelined): {s:.4f} s/sim-year '
-          f'({60.0 / s:.0f} years/min)', flush=True)
-
-    for k_fuse in (8, 4, 2):
+    for k_fuse in ks:
         t_c = time.perf_counter()
-        s = time_fused(pack, cfg, years, k_fuse)
-        print(f'fused k={k_fuse}: {s:.4f} s/sim-year '
+        if k_fuse == 0:
+            s = time_loop(pack, cfg, years)
+            name = 'per-year loop (2-deep pipelined)'
+        else:
+            s = time_fused(pack, cfg, years, k_fuse)
+            name = f'fused k={k_fuse}'
+        print(f'{name}: {s:.4f} s/sim-year '
               f'({60.0 / s:.0f} years/min) '
               f'[first call incl. compile {time.perf_counter() - t_c:.0f} s]',
               flush=True)
