@@ -230,3 +230,21 @@ def test_bilinear_rejects_spurious_plane_idx():
     with pytest.raises(ValueError, match='no plane axis'):
         interp.bilinear(field, grid, jnp.zeros(3), jnp.zeros(3),
                         plane_idx=jnp.zeros(3, jnp.int32))
+
+
+def test_stable_partition_order_matches_argsort():
+    """The cumsum+scatter partition order is bit-identical to the argsort
+    idiom it replaced across mask densities, including all-True/all-False
+    (ops/compact.py; the argsort keys are distinct so the sort is unique)."""
+    from tropical_cyclone_risk_tpu.ops import compact
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    for p in (0.0, 0.02, 0.3, 0.97, 1.0):
+        mask = jnp.asarray(rng.random(n) < p)
+        slot = jnp.arange(n)
+        ref = jnp.argsort(jnp.where(mask, slot, slot + n))
+        for w in (None, 1, 256, n):
+            got = compact.stable_partition_order(mask, w)
+            want = ref if w is None else ref[:w]
+            assert np.array_equal(np.asarray(got), np.asarray(want)), (p, w)
