@@ -65,7 +65,7 @@ def main():
         order = jnp.argsort(jnp.where(prop.integrate, slot, slot + N))[:m]
         g = lambda a: jnp.take(a, order, axis=0)
         params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
-                                 fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+                                 fourier=fourier.take_leading(fs, order))
         state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
                            g(prop.m_init))
         alive0 = simulator.genesis_alive(pack, cfg, state, params,
@@ -85,7 +85,7 @@ def main():
         order = jnp.argsort(jnp.where(prop.integrate, slot, slot + N))[:m]
         g = lambda a: jnp.take(a, order, axis=0)
         params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
-                                 fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+                                 fourier=fourier.take_leading(fs, order))
         state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
                            g(prop.m_init))
         T = cfg.n_steps_output
@@ -107,8 +107,8 @@ def main():
                 gk = lambda a, o=order_k: jnp.take(a, o, axis=0)
                 params_k = fast.SeedParams(
                     plane=gk(params_k.plane), h_bl=gk(params_k.h_bl),
-                    fourier=params_k.fourier._replace(
-                        A=gk(params_k.fourier.A), B=gk(params_k.fourier.B)))
+                    fourier=fourier.take_leading(params_k.fourier,
+                                                 order_k))
                 state_k = fast.State(*(gk(x) for x in state_k))
                 alive_k = gk(alive_k)
             outs, (y_end, alive_end) = simulator.integrate_segment(

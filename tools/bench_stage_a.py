@@ -82,7 +82,7 @@ def main():
         order = jnp.argsort(jnp.where(prop.integrate, slot, slot + N))[:m]
         g = lambda a: jnp.take(a, order, axis=0)
         params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
-                                 fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+                                 fourier=fourier.take_leading(fs, order))
         state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
                            g(prop.m_init))
         return (params.fourier.A.sum() + params.fourier.B.sum()
@@ -100,7 +100,7 @@ def main():
         order = jnp.argsort(jnp.where(prop.integrate, slot, slot + N))[:m]
         g = lambda a: jnp.take(a, order, axis=0)
         params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
-                                 fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+                                 fourier=fourier.take_leading(fs, order))
         state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
                            g(prop.m_init))
         alive0 = simulator.genesis_alive(pack, cfg, state, params,

@@ -386,7 +386,8 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         overflow = jnp.zeros((1,), jnp.int32)
         g = lambda a: a
     params = fast.SeedParams(plane=g(prop.plane), h_bl=g(prop.h_bl),
-                             fourier=fs._replace(A=g(fs.A), B=g(fs.B)))
+                             fourier=(fs if order is None else
+                                      fourier.take_leading(fs, order)))
     state = fast.State(g(prop.lon), g(prop.lat), g(prop.v_init),
                        g(prop.m_init))
     if cfg.m_init_mode == 'dvdt0':
@@ -441,8 +442,7 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                 gk = lambda a, o=order_k: jnp.take(a, o, axis=0)
                 params_k = fast.SeedParams(
                     plane=gk(params_k.plane), h_bl=gk(params_k.h_bl),
-                    fourier=params_k.fourier._replace(
-                        A=gk(params_k.fourier.A), B=gk(params_k.fourier.B)))
+                    fourier=fourier.take_leading(params_k.fourier, order_k))
                 state_k = fast.State(*(gk(x) for x in state_k))
                 alive_k = gk(alive_k)
                 orders.append(order_k)

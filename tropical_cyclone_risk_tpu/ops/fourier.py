@@ -54,6 +54,23 @@ class FourierSeries(NamedTuple):
                 jnp.einsum('tf,...cf->t...c', c, self.B))
 
 
+def take_leading(fs: FourierSeries, order: jnp.ndarray) -> FourierSeries:
+    """Gather coefficient rows along the leading (seed) axis.
+
+    A TPU XLA gather of a [n, C, F] operand runs ~86 ns/row — the minor
+    [C, F] = [4, 15] pair tiles to an (8, 128) footprint that is mostly
+    padding — while the same bytes as a 2-D [n, C*F] operand gather at the
+    ~free 2-D row rate (tools/bench_take_layout.py).  The launch re-gathers
+    A/B at the integrate compaction and at every re-compaction boundary
+    (~330k rows/launch), so reshape-take-reshape here is worth ~25 ms of
+    an ~85 ms launch.  Values are identical (same rows, same bytes)."""
+    n = fs.A.shape[0]
+    tail = fs.A.shape[1:]
+    g = lambda a: jnp.take(a.reshape(n, -1), order, axis=0).reshape(
+        (order.shape[0],) + tail)
+    return fs._replace(A=g(fs.A), B=g(fs.B))
+
+
 def draw_fourier(key: jax.Array, shape, T_s: float,
                  dtype=jnp.float32) -> FourierSeries:
     """Draw random-phase Fourier coefficients.
