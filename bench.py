@@ -96,22 +96,33 @@ def main():
     # (the production year loop does the same, runtime.run_downscaling),
     # so the host round-trip and dispatch latency overlap device
     # execution.
+    # Repeat the timed block: cross-round same-config numbers move ~5-15%
+    # run to run (BENCH_r03 87.3M vs BENCH_r04 100.9M on the same code
+    # path), so single-shot deltas near 10% are not outside noise.  The
+    # headline uses the MEDIAN block; min/max go to detail so every
+    # conclusion drawn from this record carries its spread.
     n_iter = 5
+    n_rep = 3
+    block_dts = []
     survivors = 0
-    inflight = [launch(jax.random.key(1), pack, cfg, 'GL', n_seeds, k_max,
-                       jnp.int32(0))]
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        if i + 1 < n_iter:
-            inflight.append(launch(jax.random.key(i + 2), pack, cfg, 'GL',
-                                   n_seeds, k_max, jnp.int32(0)))
-        tracks, meta = inflight.pop(0)
-        survivors += int(np.asarray(meta['scalars'])[0])
-    dt = time.perf_counter() - t0
+    for r in range(n_rep):
+        k0 = 1 + r * (n_iter + 1)
+        inflight = [launch(jax.random.key(k0), pack, cfg, 'GL', n_seeds,
+                           k_max, jnp.int32(0))]
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            if i + 1 < n_iter:
+                inflight.append(launch(jax.random.key(k0 + i + 1), pack,
+                                       cfg, 'GL', n_seeds, k_max,
+                                       jnp.int32(0)))
+            tracks, meta = inflight.pop(0)
+            survivors += int(np.asarray(meta['scalars'])[0])
+        block_dts.append(time.perf_counter() - t0)
+    dt = sorted(block_dts)[n_rep // 2]
 
     per_min = n_seeds * n_iter / dt * 60.0
     rows_min = scan_rows_per_launch(cfg, n_seeds) * n_iter / dt * 60.0
-    tcs_min = survivors / dt * 60.0
+    tcs_min = survivors / (sum(block_dts)) * 60.0
 
     # production steady state: simulated years/min through the runtime
     # default — the fused multi-year driver at years_per_program=2 (batch
@@ -130,22 +141,23 @@ def main():
                                             cfg, 'GL', years,
                                             k_fuse=k_fuse)       # warm
     assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_f)
-    dt_years = None
-    for r in range(2):                    # second pass: everything warm
+    years_dts = []
+    for r in range(3):                    # warm passes; median reported
         t1 = time.perf_counter()
         out_f = pipeline.run_tracks_years_fused(
             jax.random.key(100 + r), pack_y, cfg, 'GL', years,
             k_fuse=k_fuse)
         assert all(y.lon.shape[0] == cfg.tracks_per_year for y in out_f)
-        dt_years = time.perf_counter() - t1
+        years_dts.append(time.perf_counter() - t1)
+    dt_years = sorted(years_dts)[len(years_dts) // 2]
 
     # the per-year pipelined loop (years_per_program=1), kept for
     # cross-round comparison with the pre-quota defaults
     ykey = jax.random.key(100)
     pipeline.run_tracks_year(jax.random.fold_in(ykey, 9999), pack_y, cfg,
                              'GL', 0)                      # warm compiles
-    dt_loop = None
-    for _ in range(2):                    # second pass: everything warm
+    loop_dts = []
+    for _ in range(3):                    # warm passes; median reported
         pending = pipeline.prefetch_year_batch0(
             jax.random.fold_in(ykey, 0), pack_y, cfg, 'GL', 0)
         t1 = time.perf_counter()
@@ -158,7 +170,8 @@ def main():
                 first_batch=pending)
             assert out_y.lon.shape[0] == cfg.tracks_per_year
             pending = nxt
-        dt_loop = time.perf_counter() - t1
+        loop_dts.append(time.perf_counter() - t1)
+    dt_loop = sorted(loop_dts)[len(loop_dts) // 2]
 
     dev = jax.devices()[0]
     print(json.dumps({
@@ -170,13 +183,19 @@ def main():
             'n_seeds_per_launch': n_seeds,
             'n_steps': cfg.n_steps_output,
             'launch_seconds': round(dt / n_iter, 4),
+            'launch_seconds_spread': [round(d / n_iter, 4)
+                                      for d in sorted(block_dts)],
             'scan_rows_per_min': round(rows_min, 1),
             'surviving_tcs_per_min': round(tcs_min, 1),
             'sim_years_per_min': round(n_years / dt_years * 60.0, 2),
             'seconds_per_sim_year': round(dt_years / n_years, 4),
+            'seconds_per_sim_year_spread': [round(d / n_years, 4)
+                                            for d in sorted(years_dts)],
             'seconds_per_sim_year_unfused_loop': round(dt_loop / n_years,
                                                        4),
-            'survivors_per_launch': round(survivors / n_iter, 1),
+            'seconds_per_sim_year_unfused_spread': [
+                round(d / n_years, 4) for d in sorted(loop_dts)],
+            'survivors_per_launch': round(survivors / (n_rep * n_iter), 1),
             'integrate_cap': cfg.integrate_cap,
             'recompact': (list(cfg.recompact_schedule)
                           if cfg.recompact_schedule is not None
