@@ -34,7 +34,60 @@ assert len(jax.devices()) == 8, (
     'expected 8 virtual CPU devices; backend hijack not defeated: '
     f'{jax.devices()}')
 
+# ---------------------------------------------------------------------------
+# XLA-CPU compile-crash fence (VERDICT r4 item 6).  The XLA CPU compiler in
+# this image segfaults nondeterministically after ~100s of in-process
+# compiles (CLAUDE.md "KNOWN FLAKE"; tools/repro_compile_crash.py).
+# tools/run_tests.sh splits the suite so no process crosses the trigger, but
+# the split is group-membership-sensitive: adding compiles to a group would
+# silently re-arm the crash.  This counter keeps the fence honest: every
+# real backend compile (cache hits excluded — the monitoring event fires
+# inside backend_compile only) is counted, and when TC_COMPILE_BUDGET is set
+# (run_tests.sh sets it) the test that crosses the budget ERRORS loudly with
+# the fix spelled out, instead of the group sliding toward the segfault.
+# ---------------------------------------------------------------------------
+_BACKEND_COMPILES = [0]
+
+
+def _count_backend_compile(event, duration, **kw):
+    if event == '/jax/core/compile/backend_compile_duration':
+        _BACKEND_COMPILES[0] += 1
+
+
+jax.monitoring.register_event_duration_secs_listener(_count_backend_compile)
+
 import pytest  # noqa: E402
+
+_COMPILE_BUDGET = int(os.environ.get('TC_COMPILE_BUDGET', '0'))
+_budget_tripped = [False]
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_teardown(item):
+    yield
+    n = _BACKEND_COMPILES[0]
+    if _COMPILE_BUDGET and n > _COMPILE_BUDGET and not _budget_tripped[0]:
+        _budget_tripped[0] = True       # error once, not on every later test
+        raise RuntimeError(
+            f'compile-crash fence: this pytest process has performed {n} '
+            f'backend compiles, over the TC_COMPILE_BUDGET={_COMPILE_BUDGET} '
+            f'guard (the XLA-CPU segfault flake strikes nondeterministically '
+            f'in processes with many hundreds of compiles — CLAUDE.md / '
+            f'tools/repro_compile_crash.py; 2026-08-19 group maxima: 683). '
+            f'Split this group in tools/run_tests.sh (move '
+            f'{item.nodeid.split("::")[0]} or a compile-heavy sibling to its '
+            f'own process) instead of raising the budget.')
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    n = _BACKEND_COMPILES[0]
+    if n:
+        terminalreporter.write_line(
+            f'[compile fence] {n} backend compiles in this process'
+            + (f' (budget {_COMPILE_BUDGET})' if _COMPILE_BUDGET else
+               ' (no TC_COMPILE_BUDGET set; the XLA-CPU compiler flake '
+               'strikes at many hundreds of in-process compiles — use '
+               'tools/run_tests.sh for full-suite runs)'))
 
 
 def pytest_addoption(parser):
