@@ -26,6 +26,7 @@ import numpy as np
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.models import diagnostics, fast, seeding, simulator
 from tropical_cyclone_risk_tpu.models.fields import FieldPack
+from tropical_cyclone_risk_tpu.ops import compact as compact_ops
 from tropical_cyclone_risk_tpu.ops import fourier
 from tropical_cyclone_risk_tpu.utils import basins as _basins_mod
 
@@ -102,12 +103,24 @@ def quota_cfg(cfg: Namelist, n_tracks: int, n: int,
     integrable slots for some W; this config integrates only that prefix,
     sized from the probed survivor rate with QUOTA_Z-sigma headroom.
     Validity is checked on device (compact_survivors 'scalars'[4]: the
-    LEADING shard's prefix survivor count — the compacted track axis is
-    shard-major slot-ordered, so q_lead >= needed proves the first
+    provable shard-major survivor count — counts from shards up to and
+    including the first prefix-truncated one; the compacted track axis is
+    shard-major slot-ordered, so scalars[4] >= needed proves the first
     `needed` survivors sit inside the prefix); a batch that misses
     relaunches at the tuned width with the same key, so outputs are
     bit-identical to never having speculated (trajectories exact; the
     vmax diagnostic to the usual width-dependent float32 fusion noise).
+
+    Mesh note (ADVICE r4 item 2): the per-device width is sized for the
+    FULL quota, not quota/n_dev — in the dense case only the leading
+    truncated shard's survivors are provably the canonical first ones, so
+    a smaller per-device prefix would miss almost every batch, and under
+    SPMD lockstep the per-device width IS the wall-clock, so an
+    identically-sized prefix on every shard is already wall-clock-optimal
+    (non-leading shards' rows are insurance, not critical path).  In
+    sparse environments untruncated shards make later shards' survivors
+    provable (q_usable above), which is where cross-shard settling
+    actually pays.
 
     The re-compaction schedule is dropped from the prefix launch: its
     caps were tuned as fractions of the full width, and at prefix widths
@@ -374,10 +387,9 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                               cfg.T_fourier_s)
     m = launch_width(cfg, n)
     if m < n:
-        slot = jnp.arange(n)
         # integrable slots first, each class in slot order (stable), so the
         # compacted axis preserves the reference's slot-sequential semantics
-        order = jnp.argsort(jnp.where(prop.integrate, slot, slot + n))[:m]
+        order = compact_ops.stable_partition_order(prop.integrate, m)
         overflow = jnp.maximum(
             prop.integrate.sum(dtype=jnp.int32) - m, 0)[None]
         g = lambda a: jnp.take(a, order, axis=0)
@@ -434,9 +446,7 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         for k, w in enumerate(widths):
             t0, t1 = edges[k], edges[k + 1]
             if k > 0:
-                slot = jnp.arange(prev_w)
-                order_k = jnp.argsort(
-                    jnp.where(alive_k, slot, slot + prev_w))[:w]
+                order_k = compact_ops.stable_partition_order(alive_k, w)
                 boundary_over.append(jnp.maximum(
                     alive_k.sum(dtype=jnp.int32) - w, 0))
                 gk = lambda a, o=order_k: jnp.take(a, o, axis=0)
@@ -550,12 +560,13 @@ def compact_survivors(body: dict, m: int, k_max: int,
     size (tools/bench_stages.py), so run_tracks_year reads these outputs
     instead of dispatching _count_seeds_* per batch:
       'scalars'  [5] int32: survivors, integrate-cap overflow, recompact
-                 overflow, dropped slots, and the LEADING shard's
-                 survivor count (== survivors when n_shards == 1) — the
-                 quota prefix's validity scalar: the compacted track axis
-                 is shard-major slot-ordered, so q_lead >= needed proves
-                 the first `needed` survivors sit inside the integrated
-                 prefix (quota_cfg);
+                 overflow, dropped slots, and the PROVABLY USABLE
+                 shard-major survivor count (== survivors when
+                 n_shards == 1 and untruncated) — the quota prefix's
+                 validity scalar: the compacted track axis is shard-major
+                 slot-ordered, so scalars[4] >= needed proves the first
+                 `needed` survivors sit inside the integrated prefix
+                 (quota_cfg; see the q_usable derivation below);
       'spm_upto' [n_basins, 12]: seeds counted up to the k_max-th
                  survivor's slot (the stopping rule for a batch whose
                  accepted take equals its materialized k_max rows —
@@ -564,8 +575,7 @@ def compact_survivors(body: dict, m: int, k_max: int,
       'spm_all'  [n_basins, 12]: seeds counted over the whole batch."""
     seed, trk, tm = body['seed'], body['trk'], body['tm']
     keep = trk['keep']
-    slot = jnp.arange(m)
-    order = jnp.argsort(jnp.where(keep, slot, slot + m))[:k_max]
+    order = compact_ops.stable_partition_order(keep, k_max)
     g = lambda a: constrain(jnp.take(a, order, axis=0))
     # time-major gather: pick survivor columns, then transpose / NaN-mask
     # only the [T, k_max] result
@@ -609,10 +619,25 @@ def compact_survivors(body: dict, m: int, k_max: int,
             'overflow': constrain(body['overflow'])}
     if n_basins:
         over = meta['overflow'].reshape(-1, 2).sum(axis=0, dtype=jnp.int32)
-        q_lead = meta['keep'].reshape(n_shards, -1)[0].sum(dtype=jnp.int32)
+        # quota-prefix validity scalar: the PROVABLY usable survivor count
+        # in shard-major slot order.  A shard whose integrate prefix
+        # truncated integrable slots (per-shard overflow[0] > 0) may hide
+        # further survivors that canonically precede every later shard's,
+        # so usable = sum of per-shard counts up to and INCLUDING the
+        # first truncated shard.  Single shard (or every shard truncated,
+        # the dense case): this is exactly the leading shard's count; in
+        # sparse environments untruncated shards are exact and later
+        # shards' survivors become provable, cutting prefix-miss
+        # relaunches (ADVICE r4 item 2).
+        keep_sh = meta['keep'].reshape(n_shards, -1)
+        q_shard = keep_sh.sum(axis=1, dtype=jnp.int32)
+        trunc = meta['overflow'].reshape(n_shards, 2)[:, 0] > 0
+        trunc_before = jnp.cumsum(trunc.astype(jnp.int32)) - trunc
+        q_usable = jnp.where(trunc_before == 0, q_shard, 0) \
+            .sum(dtype=jnp.int32)
         meta['scalars'] = constrain(jnp.stack(
             [meta['keep'].sum(dtype=jnp.int32), over[0], over[1],
-             meta['dropped'].sum(dtype=jnp.int32), q_lead]))
+             meta['dropped'].sum(dtype=jnp.int32), q_usable]))
         meta['spm_upto'] = constrain(_count_upto_body(
             meta['keep'], meta['counted'], meta['basin_idx'],
             meta['month'], k_max - 1, n_basins))
@@ -938,8 +963,9 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
         n_proposed += N
         n_dropped += n_drop
         if q_mode:
-            # validity: the leading shard's prefix survivors must cover
-            # the remaining quota (then the accepted survivors are
+            # validity: the provably-usable shard-major survivor count
+            # (scalars[4], see compact_survivors) must cover the
+            # remaining quota (then the accepted survivors are
             # provably the first ones of the full launch, in slot order)
             # and no recompaction boundary overflowed (none configured by
             # quota_cfg, but an explicit integrate_width could combine).
@@ -947,17 +973,36 @@ def run_tracks_year(key: jax.Array, pack: FieldPack, cfg: Namelist,
             # the prefix truncates integrable slots by design.
             if int(dec[0][4]) >= n_tracks - got and n_over2 == 0:
                 n_over1 = n_over2 = 0       # prefix settles this batch
+            elif n_over1 == 0 and n_over2 == 0:
+                # quota missed but NOTHING was truncated (every integrable
+                # slot of every shard fit inside the prefix): the prefix
+                # launch already IS the tuned full launch, so its
+                # survivors stand and the loop draws the next batch — no
+                # relaunch.  This is the collapsed-environment path
+                # (tests/test_quota_stress.py): a sparse year costs one
+                # launch per batch, not two.
+                pass
             else:
                 # prefix miss: relaunch at the tuned width with the SAME
                 # key (identical proposals — bit-identical to never
                 # having speculated), then fall through to the tuned
-                # path's own overflow handling
+                # path's own overflow handling.  The relaunch's dropped-
+                # slot scalar is discarded (kept: the prefix launch's
+                # n_drop, already accumulated): seeding runs at FULL
+                # batch width in both launches — integrate_width caps the
+                # scan only — so the two dropped scalars are the same
+                # value by construction (asserted when debug-checking).
                 tracks, meta = _dispatch_batch(
                     jax.random.fold_in(key, b_i), get_pack_y(), cfg,
                     basin_id, N, k_max, plane_off, mesh)
                 dec = jax.device_get((meta['scalars'], meta['spm_upto'],
                                       meta['spm_all']))
-                n_new, n_over1, n_over2, _ = (int(x) for x in dec[0][:4])
+                n_new, n_over1, n_over2, _relaunch_drop = (
+                    int(x) for x in dec[0][:4])
+                if __debug__:
+                    assert _relaunch_drop == n_drop, (
+                        'seeding drops must be integrate-width-independent'
+                        f' ({_relaunch_drop} != {n_drop})')
         if n_over1 + n_over2 > 0:
             # more integrable (or boundary-alive) seeds than a compaction
             # cap: redo this batch uncapped (same key -> identical

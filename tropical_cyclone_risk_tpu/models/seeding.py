@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from tropical_cyclone_risk_tpu.config import Namelist
 from tropical_cyclone_risk_tpu.models import fields as F
 from tropical_cyclone_risk_tpu.models.fast import State
+from tropical_cyclone_risk_tpu.ops import compact as compact_ops
 from tropical_cyclone_risk_tpu.ops import interp
 from tropical_cyclone_risk_tpu.utils import basins
 
@@ -140,8 +141,7 @@ def propose_seeds(key: jax.Array, pack: F.FieldPack, cfg: Namelist,
         for r in range(1, R):
             cap = float(caps[min(r - 1, len(caps) - 1)])
             w = _round256(n * cap, 256, cur_w)
-            idx = jnp.arange(cur_w)
-            order = jnp.argsort(jnp.where(ur, idx, idx + cur_w))[:w]
+            order = compact_ops.stable_partition_order(ur, w)
             a_idx = order if a_idx is None else jnp.take(a_idx, order)
             active = jnp.take(ur, order)
             val = mval(jnp.take(lon_r[r], a_idx), jnp.take(lat_r[r], a_idx))

@@ -3,12 +3,15 @@
 The launch idiom "move the masked slots to the front, each class in slot
 order" appeared everywhere as ``argsort(where(mask, slot, slot + n))[:w]``
 — an O(n log^2 n) bitonic sort on TPU.  The same permutation is one
-prefix-sum plus one scatter (O(n)): floor-amortized micro-timing
-(tools/bench_order_micro.py) puts the argsort at several ms per launch
-across its ~25 call sites (integrate compaction at full batch width,
-every re-compaction boundary, the seeding retry rounds, survivor
-compaction) where the round-3 per-program timing had hidden it under the
-~25 ms relay floor.
+prefix-sum plus one scatter (O(n)).  Two measurement tools disagreed on
+the win: floor-amortized micro-timing (tools/bench_order_micro.py) put
+the argsorts at several ms per launch across the ~25 call sites, while
+whole-program ablation (docs/performance.md r4 decomposition) measured
+them at the relay floor.  Since round 5 every production call site
+(integrate compaction, the re-compaction boundaries, the seeding retry
+rounds, survivor compaction) uses this helper — identical permutation,
+pinned bit-for-bit; the launch-level A/B lives in docs/performance.md
+(round-5 section).
 
 Identity: the keys ``where(mask, slot, slot + n)`` are distinct, so the
 argsort is unique and equals this rank construction exactly — masked slots
