@@ -216,6 +216,24 @@ def test_cmip6_offline_url_lists(tmp_path, monkeypatch):
         empty.write_text('# nothing\n')
         download_cmip6.file_urls_from_lists([str(empty)])
 
+    # same filename listed twice with the SAME url: fine (listing rerun);
+    # with a DIFFERENT url: a conflict that must not be silently resolved
+    dup_ok = tmp_path / 'dup_ok.txt'
+    dup_ok.write_text('http://esgf.example/tos_Omon_x.nc\n')
+    assert len(download_cmip6.file_urls_from_lists(
+        [str(plain), str(dup_ok)])) == 1
+    conflict = tmp_path / 'conflict.txt'
+    conflict.write_text('http://mirror.example/other/tos_Omon_x.nc\n')
+    with pytest.raises(ValueError, match='conflicting listings'):
+        download_cmip6.file_urls_from_lists([str(plain), str(conflict)])
+
+    # a URL with no filename component would make download_all target the
+    # base directory itself — rejected at parse time
+    slashy = tmp_path / 'slashy.txt'
+    slashy.write_text('http://esgf.example/somedir/\n')
+    with pytest.raises(ValueError, match='no filename component'):
+        download_cmip6.file_urls_from_lists([str(slashy)])
+
 
 def test_landfalls():
     ens, cfg = None, CFG.replace(start_year=2016, end_year=2016)

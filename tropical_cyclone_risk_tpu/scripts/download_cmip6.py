@@ -97,13 +97,26 @@ def file_urls_from_lists(paths: Sequence[str]) -> List[Tuple[str, str]]:
             for line in text.splitlines():
                 line = line.strip()
                 if line and not line.startswith('#'):
-                    entries.append((os.path.basename(
-                        urllib.parse.urlparse(line).path), line))
+                    name = os.path.basename(urllib.parse.urlparse(line).path)
+                    if not name:
+                        # a URL ending in '/' (or query-only) derives an
+                        # empty filename, which would make download_all
+                        # target cfg.base_directory itself and fail in
+                        # os.replace — reject it at parse time instead
+                        raise ValueError(
+                            f'{p}: URL {line!r} has no filename component')
+                    entries.append((name, line))
         if not entries:
             raise ValueError(f'{p}: no ESGF wget entries and no URLs found')
         pairs.extend(entries)
-    seen = {}
-    for name, url in pairs:       # first listing wins, like wget -c reruns
+    seen: Dict[str, str] = {}
+    for name, url in pairs:
+        # the same file listed twice with the SAME url is normal (rerun of
+        # a listing); the same filename mapping to a DIFFERENT url is a
+        # listing conflict that first-wins would silently paper over
+        if name in seen and seen[name] != url:
+            raise ValueError(
+                f'conflicting listings for {name!r}:\n  {seen[name]}\n  {url}')
         seen.setdefault(name, url)
     return sorted(seen.items())
 
