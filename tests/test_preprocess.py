@@ -416,3 +416,29 @@ def test_basin_masks_lon_convention(workdir, tmp_path):
     m2, lon2, lat2 = land_masks.load_basin_masks(cfg, str(mask2))
     np.testing.assert_allclose(lon2, lon_ref)
     np.testing.assert_array_equal(m2, m_ref)
+
+
+def test_compute_downscaling_inputs_overlap(workdir, tmp_path):
+    """The overlapped orchestration (thermo thread || winds stream) must
+    write byte-identical stage outputs to the serial order, and a failing
+    thermo stage must propagate out of the join."""
+    from tropical_cyclone_risk_tpu import cli
+
+    cfg, _, _ = workdir
+    fn_w_ref = winds.gen_wind_mean_cov(cfg)          # cached serial outputs
+    fn_t_ref = thermo_driver.gen_thermo(cfg)
+
+    cfg2 = cfg.replace(output_directory=str(tmp_path))
+    cli.compute_downscaling_inputs(cfg2, overlap=True)
+    fn_w = winds.get_env_wnd_fn(cfg2)
+    fn_t = thermo_driver.get_fn_thermo(cfg2)
+    for ref, new in ((fn_w_ref, fn_w), (fn_t_ref, fn_t)):
+        with open(ref, 'rb') as a, open(new, 'rb') as b:
+            assert a.read() == b.read(), f'{new} differs from serial {ref}'
+
+    # error propagation: point both stages at a directory with no raw files
+    cfg3 = cfg2.replace(base_directory=str(tmp_path / 'empty'),
+                        output_directory=str(tmp_path / 'out3'))
+    os.makedirs(tmp_path / 'empty')
+    with pytest.raises(Exception):
+        cli.compute_downscaling_inputs(cfg3, overlap=True)
