@@ -890,3 +890,48 @@ def test_quota_prefix_fused_years_identical():
             cfg.replace(quota_prefix=False), 'GL', yi)
         _assert_year_equal(ref_f, ref_q)
         _assert_year_equal(ref_q, fused[yi])
+
+
+@pytest.mark.parametrize('sched,stride,sub', [
+    (None, 3, 1),                       # unsegmented, strided (defaults)
+    (((60, 0.75), (180, 0.5)), 3, 1),   # multi-segment + stride
+    (None, 1, 1),                       # per-step scan
+    (((90, 0.5),), 1, 1),               # one boundary, per-step
+    (None, 1, 2),                       # RK substeps path
+])
+def test_vmax_in_scan_identity(sched, stride, sub):
+    """Namelist.vmax_in_scan computes the vmax diagnostic inside the
+    integration scan (simulator._diag_step + diagnostics.fix_last_sample)
+    instead of the standalone axi_to_max_wind_raw post-pass.  Both paths
+    read the SAME neighbor positions (the post-pass re-reads from the
+    frozen buffers what the scan carries), so trajectories and verdicts
+    must be bit-identical and vmax equal to float32 fusion noise."""
+    cfg0 = Namelist(seed_batch=2048).replace(
+        recompact_schedule=sched, field_sample_stride=stride,
+        rk_substeps=sub, integrate_cap=0.75)
+    pack = synthetic_pack(cfg0, n_planes=12, nlat=46, nlon=90, seed=0)
+    key = jax.random.key(7)
+    out = {}
+    for flag in (False, True):
+        cfg = cfg0.replace(vmax_in_scan=flag)
+        out[flag] = pipeline._simulate_batch(key, pack, cfg, 'GL',
+                                             cfg0.seed_batch, 64,
+                                             jnp.int32(0))
+    (ta, ma), (tb, mb) = out[False], out[True]
+    np.testing.assert_array_equal(np.asarray(ma['scalars']),
+                                  np.asarray(mb['scalars']))
+    np.testing.assert_array_equal(np.asarray(ma['keep']),
+                                  np.asarray(mb['keep']))
+    valid = np.asarray(ta['valid'])
+    np.testing.assert_array_equal(np.asarray(tb['valid']), valid)
+    kv = int(valid.sum())
+    assert kv > 5
+    for k in ('lon', 'lat', 'v', 'm', 'month', 'basin_idx'):
+        a, b = np.asarray(ta[k])[:kv], np.asarray(tb[k])[:kv]
+        np.testing.assert_array_equal(np.nan_to_num(a, nan=-9e9),
+                                      np.nan_to_num(b, nan=-9e9),
+                                      err_msg=k)
+    a, b = np.asarray(ta['vmax'])[:kv], np.asarray(tb['vmax'])[:kv]
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    fin = np.isfinite(a)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)

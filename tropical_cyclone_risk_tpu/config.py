@@ -259,6 +259,21 @@ class Namelist:
     # set 1 for the tightest per-track solver agreement.  Ignored when
     # rk_exact_stage_fields or rk_substeps > 1.
     field_sample_stride: int = 3
+    # compute the vmax diagnostic INSIDE the integration scan (one
+    # elementwise sample per step from the live carry positions and winds,
+    # simulator._diag_step) instead of the standalone axi_to_max_wind_raw
+    # post-pass over the full [T, m] launch buffers.  Same formula, same
+    # neighbor values (the post-pass reads back the very positions the
+    # scan carries), same last-sample edge extrapolation (applied as an
+    # [m]-row fix-up, diagnostics.fix_last_sample) — vmax/peak agree to
+    # float32 fusion noise and trajectories are untouched
+    # (tests/test_pipeline_stats.py::test_vmax_in_scan_identity).
+    # MEASURED A DEAD END on the chip (tools/bench_vmax_in_scan.py,
+    # 2026-08-20, bench shape): 91.0 ms/launch vs the post-pass's 78.9 —
+    # the arithmetic costs MORE on the scan's serialized critical path
+    # than the bulk [T, m] pass it replaces, whose HBM re-reads pipeline
+    # well.  Kept as the measured escape hatch; default stays False.
+    vmax_in_scan: bool = False
     # fuse batch 0 of this many simulated years into ONE device program
     # (pipeline._simulate_years); <= 1 runs the per-year pipelined loop
     # instead.  The default moved twice, with measurements both times

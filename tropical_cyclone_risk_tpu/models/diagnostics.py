@@ -111,6 +111,76 @@ def _translation_tm(lon, lat, lon_prev, lat_prev, lon_next, lat_next, dt_s):
     return dlon * 1000.0 / dt_s, dlat * 1000.0 / dt_s
 
 
+def _shear_channels(cfg):
+    if cfg is not None:
+        from tropical_cyclone_risk_tpu.models.fast import deep_layer_indices
+        return deep_layer_indices(cfg)
+    return 0, 1, 2, 3
+
+
+def vmax_step(cfg, lat, tc_v, env_wnds, ut, vt):
+    """vmax of one output sample from values live in the integration scan
+    (wind/tc_wind.py:6-21 via the closed form _vmax_from_inc): lat/tc_v [N],
+    env_wnds [N, W], ut/vt [N] the centered-difference translation.  The
+    in-scan vmax path (Namelist.vmax_in_scan) evaluates this once per step
+    while positions and winds are still in registers, replacing the
+    standalone [T, m] axi_to_max_wind_raw pass that re-read every launch
+    buffer from HBM."""
+    iu2, iv2, iu8, iv8 = _shear_channels(cfg)
+    G = jnp.minimum(1.0, 0.8 + 0.35 * (1.0 + jnp.tanh((lat - 35.0) / 10.0)))
+    u_shr = env_wnds[..., iu2] - env_wnds[..., iu8]
+    v_shr = env_wnds[..., iv2] - env_wnds[..., iv8]
+    U_inc = G * ut + 0.1 * u_shr * tc_v / 15.0
+    V_inc = G * vt + 0.1 * v_shr * tc_v / 15.0
+    mag_inc = jnp.sqrt(U_inc ** 2 + V_inc ** 2)
+    return _vmax_from_inc(tc_v, mag_inc)
+
+
+def fix_last_sample(vmax_tm, lon, lat, tc_v, env_wnds, alive, last_step,
+                    dt_s, cfg=None, pos_before=None):
+    """Apply the reference's edge extrapolation to each track's FINAL valid
+    sample of an in-scan vmax buffer (segment-local; the in-scan twin of
+    axi_to_max_wind_raw's last_step fix-up).
+
+    The in-scan translation at a track's last valid sample L uses the real
+    next position (the integrator keeps stepping before the alive mask
+    freezes), but the reference's valid window ENDS at L and its centered
+    difference linearly extrapolates past the end (util/sphere.py:66-69).
+    Re-derive sample L's vmax with the extrapolated neighbor
+    pos[L] + (pos[L] - pos[L-1]) and scatter it back — one [N]-row pass
+    against the scan's [T, N] buffers.
+
+    last_step is segment-local: values outside [0, T) mean the track's
+    life ended in another segment, and such rows are left untouched.
+    Returns (vmax fixed [T, N], vmax_L [N], ok [N]) where ok flags tracks
+    whose final valid sample lies in THIS segment (their vmax_L must enter
+    the lifetime peak; everything else in the peak comes from the scan's
+    running maximum, which excludes final samples by construction)."""
+    T = lon.shape[0]
+    Lc = jnp.clip(last_step, 0, T - 1)
+    take = lambda x: jnp.take_along_axis(x, Lc[None, :], axis=0)[0]
+    L = last_step
+    Lm1 = jnp.clip(L - 1, 0, T - 1)
+    takem = lambda x: jnp.take_along_axis(x, Lm1[None, :], axis=0)[0]
+    lon_L, lat_L = take(lon), take(lat)
+    lon_P, lat_P = takem(lon), takem(lat)
+    if pos_before is not None:
+        # a track whose last valid sample is this segment's row 0 reaches
+        # one row back across the boundary for its extrapolation base
+        lon_P = jnp.where(L == 0, pos_before[0], lon_P)
+        lat_P = jnp.where(L == 0, pos_before[1], lat_P)
+    ut_L, vt_L = _translation_tm(lon_L, lat_L, lon_P, lat_P,
+                                 lon_L + (lon_L - lon_P),
+                                 lat_L + (lat_L - lat_P), dt_s)
+    wnds_L = jnp.take_along_axis(env_wnds, Lc[None, :, None], axis=0)[0]
+    vmax_L = vmax_step(cfg, lat_L, take(tc_v), wnds_L, ut_L, vt_L)
+    ok = (L >= 0) & (L < T) & take(alive)
+    cols = jnp.arange(lon.shape[1])
+    fixed = vmax_tm.at[Lc, cols].set(
+        jnp.where(ok, vmax_L, vmax_tm[Lc, cols]), mode='drop')
+    return fixed, vmax_L, ok
+
+
 def axi_to_max_wind_raw(lon, lat, dt_track, tc_v, env_wnds, alive,
                         last_step, cfg=None, pos_before=None,
                         pos_after=None):

@@ -408,7 +408,7 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
     dt_out = float(cfg.output_interval_s)
 
     sched = seg_schedule(cfg, m)
-    if not sched:
+    if not sched and not cfg.vmax_in_scan:
         raw = simulator.integrate_raw(pack, cfg, basin_id, state, params,
                                       g(prop.integrate))
         is_tc, _ = simulator.tc_filters_raw(cfg, raw)
@@ -435,12 +435,18 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         alive0 = simulator.genesis_alive(pack, cfg, state, params,
                                          g(prop.integrate))
 
+        use_diag = cfg.vmax_in_scan
         raws = []        # per segment: time-major dict on its own axis
         orders = []      # per boundary: gather map axis k-1 -> axis k
         a_idxs = []      # per later segment: composed map seg axis -> A axis
         bnd_states = []  # per segment: carry state AT its end boundary
         boundary_over = []
         state_k, alive_k, params_k = state, alive0, params
+        dstate = (simulator.DiagState(jnp.zeros_like(state.lon),
+                                      jnp.zeros_like(state.lat),
+                                      jnp.full((m,), -jnp.inf))
+                  if use_diag else None)
+        peak_acc = jnp.full((m,), -jnp.inf) if use_diag else None
         a_idx = None
         prev_w = m
         for k, w in enumerate(widths):
@@ -455,16 +461,32 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                     fourier=fourier.take_leading(params_k.fourier, order_k))
                 state_k = fast.State(*(gk(x) for x in state_k))
                 alive_k = gk(alive_k)
+                if use_diag:
+                    dstate = simulator.DiagState(*(gk(x) for x in dstate))
                 orders.append(order_k)
                 a_idx = order_k if a_idx is None else jnp.take(a_idx,
                                                                order_k)
                 a_idxs.append(a_idx)
-            (lon_k, lat_k, v_k, m_k, wnds_k, alive_tm), (y_end, alive_end) \
-                = simulator.integrate_segment(stacks, cfg, bounds, state_k,
-                                              alive_k, params_k, t0,
-                                              t1 - t0)
-            raws.append({'lon': lon_k, 'lat': lat_k, 'v': v_k, 'm': m_k,
-                         'wnds': wnds_k, 'alive': alive_tm})
+            outs_k, carry_k = simulator.integrate_segment(
+                stacks, cfg, bounds, state_k, alive_k, params_k, t0,
+                t1 - t0, diag=dstate,
+                t_last=(T - 1 if k + 1 == len(widths) else -1))
+            lon_k, lat_k, v_k, m_k, wnds_k, alive_tm = outs_k[:6]
+            raw_k = {'lon': lon_k, 'lat': lat_k, 'v': v_k, 'm': m_k,
+                     'wnds': wnds_k, 'alive': alive_tm}
+            if use_diag:
+                raw_k['vmax'] = outs_k[6]
+                y_end, alive_end, dstate = carry_k
+                # bank this segment's running peak on the ORIGINAL m axis
+                # (the boundary gather keeps only still-alive storms, but a
+                # storm dropped there must keep its lifetime maximum; max
+                # re-banking the gathered continuation rows later is
+                # idempotent)
+                peak_acc = (jnp.maximum(peak_acc, dstate.peak) if k == 0
+                            else peak_acc.at[a_idx].max(dstate.peak))
+            else:
+                y_end, alive_end = carry_k
+            raws.append(raw_k)
             bnd_states.append(y_end)
             state_k, alive_k = y_end, alive_end
             prev_w = w
@@ -492,10 +514,6 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
         peak = None
         for k, r in enumerate(raws):
             inner = k + 1 < len(raws)
-            # the carry at this segment's end boundary is the sample
-            # neighboring its last row (pre-gather, on this segment's axis)
-            pos_after = (jnp.stack([bnd_states[k].lon, bnd_states[k].lat])
-                         if inner else None)
             if k == 0:
                 ls_k, pos_before = last_step, None
             else:
@@ -504,6 +522,22 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
                 gb = lambda a: jnp.take(a, orders[k - 1], axis=0)
                 pos_before = jnp.stack([gb(prev['lon'][-1]),
                                         gb(prev['lat'][-1])])
+            if use_diag:
+                # in-scan vmax: only each track's FINAL valid sample needs
+                # re-deriving (edge extrapolation); its vmax joins the
+                # banked running peaks
+                vmax_fix, vmax_L, okL = diagnostics.fix_last_sample(
+                    r['vmax'], r['lon'], r['lat'], r['v'], r['wnds'],
+                    r['alive'], ls_k, dt_out, cfg, pos_before=pos_before)
+                r['vmax'] = vmax_fix
+                contrib = jnp.where(okL, vmax_L, -jnp.inf)
+                peak_acc = (jnp.maximum(peak_acc, contrib) if k == 0
+                            else peak_acc.at[a_idxs[k - 1]].max(contrib))
+                continue
+            # the carry at this segment's end boundary is the sample
+            # neighboring its last row (pre-gather, on this segment's axis)
+            pos_after = (jnp.stack([bnd_states[k].lon, bnd_states[k].lat])
+                         if inner else None)
             vmax_k, peak_k = diagnostics.axi_to_max_wind_raw(
                 r['lon'], r['lat'], dt_out, r['v'], r['wnds'], r['alive'],
                 ls_k, cfg, pos_before=pos_before, pos_after=pos_after)
@@ -513,6 +547,8 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
             else:
                 peak = jnp.maximum(peak, jnp.full((m,), -jnp.inf)
                                    .at[a_idxs[k - 1]].set(peak_k))
+        if use_diag:
+            peak = peak_acc
         keep = is_tc & (peak >= cfg.seed_vmax_threshold_ms)
 
         # per-segment A-axis maps for survivor column gathers (global
@@ -523,8 +559,12 @@ def launch_body(key, pack: FieldPack, cfg: Namelist, basin_id: str, n: int,
              'selected': jnp.zeros((m,), bool).at[ai].set(True)}
             for ai, w in zip(a_idxs, widths[1:]))
         tm = raws[0]
-        tms = tuple(raws[1:])
-        overflow2 = sum(boundary_over)[None]
+        tms = tuple(raws[1:]) if len(raws) > 1 else None
+        if tms is None:
+            segs = None
+            overflow2 = jnp.zeros((1,), jnp.int32)
+        else:
+            overflow2 = sum(boundary_over)[None]
 
     # full-width keep (for the stopping rule's slot-sequential cumsum):
     # scatter the compacted verdicts back to their original slots

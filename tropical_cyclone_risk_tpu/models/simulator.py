@@ -42,6 +42,18 @@ class TrackOutput(NamedTuple):
     last_step: jnp.ndarray   # [N] index of last valid sample
 
 
+class DiagState(NamedTuple):
+    """In-scan vmax diagnostic carry (Namelist.vmax_in_scan): the previous
+    output sample's position (the centered difference's left neighbor) and
+    the running alive-masked lifetime vmax maximum.  The running peak
+    EXCLUDES each track's final valid sample — that one sample's vmax is
+    re-derived with the reference's edge extrapolation afterwards
+    (diagnostics.fix_last_sample) and max-combined by the caller."""
+    prev_lon: jnp.ndarray    # [N]
+    prev_lat: jnp.ndarray    # [N]
+    peak: jnp.ndarray        # [N], -inf init
+
+
 class RawTracks(NamedTuple):
     """Scan-native time-major buffers, [n_steps, N] (winds [n_steps, N, W]),
     UNMASKED: samples past a storm's death hold the frozen death state, not
@@ -98,7 +110,8 @@ def _rk4_step_frozen_fields(stacks, cfg, params, t, y: fast.State, dt,
 
 def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
                       alive0: jnp.ndarray, params: fast.SeedParams,
-                      k0: int, n_steps: int):
+                      k0: int, n_steps: int, diag: DiagState = None,
+                      t_last: int = -1):
     """Scan samples k0 .. k0+n_steps-1 from carry (y0, alive0).
 
     Returns (time-major outputs (lon, lat, v, m, wnds, alive), final carry
@@ -106,7 +119,19 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
     the launch re-compact the batch to the surviving storms mid-track
     (pipeline.launch_body): frozen-state semantics make the segments
     exactly composable — a storm dead at the boundary replays its frozen
-    state either way."""
+    state either way.
+
+    diag (Namelist.vmax_in_scan): an in-scan vmax carry.  The outputs gain
+    a 7th leaf vmax [n_steps, N] (centered-difference translation from the
+    carried previous position and the post-step next position — the exact
+    neighbor values the standalone axi_to_max_wind_raw pass reads back from
+    the frozen buffers) and the carry a 3rd element DiagState.  At the
+    global first sample (k == 0) the left neighbor is the reference's
+    start-edge extrapolation 2*pos[0] - pos[1]; diag.prev_* are ignored
+    there.  t_last: global index of the run's final output sample — its
+    alive rows are excluded from the running peak (they take the
+    edge-extrapolation fix, diagnostics.fix_last_sample) — or -1 when this
+    segment is not the final one."""
     dt_out = float(cfg.output_interval_s)
     sub = max(1, int(cfg.rk_substeps))
     dt = dt_out / sub
@@ -118,10 +143,15 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
         # (cfg.field_sample_stride) — the remainder steps run through the
         # per-step scan below with carry handed over
         n_blocks, rem = divmod(n_steps, stride)
-        outs_b, (y0, alive0) = _integrate_blocks(
-            stacks, cfg, bounds, y0, alive0, params, k0, n_blocks, stride)
+        outs_b, carry_b = _integrate_blocks(
+            stacks, cfg, bounds, y0, alive0, params, k0, n_blocks, stride,
+            diag=diag, t_last=t_last)
+        if diag is None:
+            y0, alive0 = carry_b
+        else:
+            y0, alive0, diag = carry_b
         if rem == 0:
-            return outs_b, (y0, alive0)
+            return outs_b, carry_b
         k0, n_steps = k0 + n_blocks * stride, rem
     else:
         outs_b = None
@@ -143,7 +173,10 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
         xs = (ks, None)
 
     def step(carry, x):
-        y, alive = carry
+        if diag is None:
+            y, alive = carry
+        else:
+            y, alive, dstate = carry
         k, f_t = x
         t = k.astype(jnp.float32) * dt_out
         # record sample k, then advance to k+1
@@ -158,9 +191,14 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
                               for a, b in zip(y_next, y1)))
         alive1 = alive & _events_alive(cfg, bounds, y1)
         out = (y.lon, y.lat, y.v, y.m, wnds0, alive)
-        return (y1, alive1), out
+        if diag is None:
+            return (y1, alive1), out
+        vmax_k, dstate = _diag_step(cfg, dstate, y, y1, wnds0, alive,
+                                    alive1, k, t_last, dt_out)
+        return (y1, alive1, dstate), out + (vmax_k,)
 
-    carry_end, outs = jax.lax.scan(step, (y0, alive0), xs,
+    init = (y0, alive0) if diag is None else (y0, alive0, diag)
+    carry_end, outs = jax.lax.scan(step, init, xs,
                                    unroll=max(1, int(cfg.scan_unroll)))
     if outs_b is not None:
         outs = tuple(jnp.concatenate([a, b], axis=0)
@@ -168,9 +206,33 @@ def integrate_segment(stacks, cfg: Namelist, bounds, y0: fast.State,
     return outs, carry_end
 
 
+def _diag_step(cfg, dstate: DiagState, y: fast.State, y1: fast.State,
+               wnds0, alive, alive1, k, t_last: int, dt_out: float):
+    """One in-scan vmax sample (see integrate_segment's diag contract):
+    centered-difference translation between the carried previous position
+    and the post-step next position (y1 — the value the output buffer will
+    record at k+1, frozen for dead storms just like the buffer), then the
+    closed-form vmax.  The running peak takes every valid sample EXCEPT a
+    track's final one — a sample is final when its storm dies during this
+    step (alive & ~alive1) or when it is the run's last output row
+    (k == t_last); those rows are re-derived with the reference's edge
+    extrapolation by diagnostics.fix_last_sample."""
+    from tropical_cyclone_risk_tpu.models import diagnostics
+    is0 = k == 0   # global start edge: left neighbor extrapolates
+    p_lon = jnp.where(is0, 2.0 * y.lon - y1.lon, dstate.prev_lon)
+    p_lat = jnp.where(is0, 2.0 * y.lat - y1.lat, dstate.prev_lat)
+    ut, vt = diagnostics._translation_tm(y.lon, y.lat, p_lon, p_lat,
+                                         y1.lon, y1.lat, dt_out)
+    vmax_k = diagnostics.vmax_step(cfg, y.lat, y.v, wnds0, ut, vt)
+    incl = alive & alive1 & (k != t_last)
+    peak = jnp.maximum(dstate.peak, jnp.where(incl, vmax_k, -jnp.inf))
+    return vmax_k, DiagState(y.lon, y.lat, peak)
+
+
 def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
                       alive0: jnp.ndarray, params: fast.SeedParams,
-                      k0: int, n_blocks: int, stride: int):
+                      k0: int, n_blocks: int, stride: int,
+                      diag: DiagState = None, t_last: int = -1):
     """Strided scan: samples k0 .. k0 + n_blocks*stride - 1, one field
     gather per block of `stride` output steps (cfg.field_sample_stride).
 
@@ -178,7 +240,9 @@ def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
     reused for every step of the block — staleness grows from <= 1 output
     interval (the frozen-per-step default) to <= stride intervals.  The
     Fourier flow, wind coloring, steering weights, and alive-mask
-    semantics remain per-step exact, identical to the unstrided body."""
+    semantics remain per-step exact, identical to the unstrided body.
+
+    diag/t_last: the in-scan vmax contract of integrate_segment."""
     dt_out = float(cfg.output_interval_s)
     n_steps = n_blocks * stride
     ks_all = k0 + jnp.arange(n_steps)
@@ -188,7 +252,10 @@ def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
     f_blk = f_all.reshape((n_blocks, stride) + f_all.shape[1:])
 
     def block(carry, x):
-        y, alive = carry
+        if diag is None:
+            y, alive = carry
+        else:
+            y, alive, dstate = carry
         k, f_s = x
         t0 = k.astype(jnp.float32) * dt_out
         smp = fast.sample_fields_at_time(stacks, cfg, y.lon, y.lat,
@@ -201,14 +268,24 @@ def _integrate_blocks(stacks, cfg: Namelist, bounds, y0: fast.State,
             rhs_fn = lambda tt, yy, w=wnds: fast.rhs_given_winds(
                 cfg, tt, yy, params, smp, w, drv)
             y_next, _ = _rk4_step(rhs_fn, t, y, dt_out)
-            outs.append((y.lon, y.lat, y.v, y.m, wnds, alive))
+            y_rec, alive_rec = y, alive
             y = fast.State(*(jnp.where(alive, a, b)
                              for a, b in zip(y_next, y)))
             alive = alive & _events_alive(cfg, bounds, y)
+            out_j = (y_rec.lon, y_rec.lat, y_rec.v, y_rec.m, wnds,
+                     alive_rec)
+            if diag is not None:
+                vmax_j, dstate = _diag_step(cfg, dstate, y_rec, y, wnds,
+                                            alive_rec, alive, k + j,
+                                            t_last, dt_out)
+                out_j = out_j + (vmax_j,)
+            outs.append(out_j)
         out = tuple(jnp.stack(ch) for ch in zip(*outs))
-        return (y, alive), out
+        carry = (y, alive) if diag is None else (y, alive, dstate)
+        return carry, out
 
-    carry_end, outs = jax.lax.scan(block, (y0, alive0), (kb, f_blk),
+    init = (y0, alive0) if diag is None else (y0, alive0, diag)
+    carry_end, outs = jax.lax.scan(block, init, (kb, f_blk),
                                    unroll=max(1, int(cfg.scan_unroll)))
     # [n_blocks, stride, ...] -> [n_steps, ...]
     outs = tuple(o.reshape((n_steps,) + o.shape[2:]) for o in outs)
