@@ -18,6 +18,46 @@ sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 
 
+def pdi_of(vmax, dt):
+    """Power-dissipation index per track: sum vmax^3 dt over finite
+    samples (reference notebook cell 16)."""
+    v = np.where(np.isfinite(vmax), vmax, 0.0)
+    return (v ** 3).sum(axis=-1) * dt
+
+
+def landfall_vmax(f_land, lon, lat, vmax):
+    """vmax at the first along-track sample with land fraction >= 0.5
+    (identical detector for both chains: the pack's land spline)."""
+    fin = np.isfinite(lon) & np.isfinite(lat)
+    if not fin.any():
+        return None
+    land = f_land.ev(lon[fin], lat[fin])
+    hit = np.flatnonzero(land >= 0.5)
+    # skip genesis-on-coast samples: require an ocean sample first
+    if hit.size and hit[0] > 0:
+        return float(vmax[fin][hit[0]])
+    return None
+
+
+def ref_aggregates(rc, tracks, n_counted, dt_s):
+    """Collapse RefTrack objects to the cached per-track aggregates."""
+    return {
+        'lmi': np.array([t.vmax.max() for t in tracks]),
+        'lat0': np.array([t.lat[0] for t in tracks]),
+        'month': np.array([t.month for t in tracks]),
+        'pos': (np.concatenate([np.stack([t.lon, t.lat], 1)
+                                for t in tracks])
+                if tracks else np.zeros((0, 2))),
+        'pdi': np.array([pdi_of(t.vmax, dt_s) for t in tracks]),
+        'lf': np.array([v for t in tracks
+                        for v in [landfall_vmax(rc.f_land, t.lon, t.lat,
+                                                t.vmax)]
+                        if v is not None]),
+        'spm': rc.counted_by_bm.astype(float),
+        'n_counted': n_counted,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('--ref-seeds', type=int, default=20000)
@@ -54,25 +94,6 @@ def main(argv=None):
     rc = ReferenceChain(pack, cfg, 'GL')
     dt_s = float(cfg.output_interval_s)
 
-    def pdi_of(vmax, dt=dt_s):
-        """Power-dissipation index per track: sum vmax^3 dt over finite
-        samples (reference notebook cell 16)."""
-        v = np.where(np.isfinite(vmax), vmax, 0.0)
-        return (v ** 3).sum(axis=-1) * dt
-
-    def landfall_vmax(lon, lat, vmax):
-        """vmax at the first along-track sample with land fraction >= 0.5
-        (identical detector for both chains: the pack's land spline)."""
-        fin = np.isfinite(lon) & np.isfinite(lat)
-        if not fin.any():
-            return None
-        land = rc.f_land.ev(lon[fin], lat[fin])
-        hit = np.flatnonzero(land >= 0.5)
-        # skip genesis-on-coast samples: require an ocean sample first
-        if hit.size and hit[0] > 0:
-            return float(vmax[fin][hit[0]])
-        return None
-
     if args.ref_cache and os.path.exists(args.ref_cache):
         c = np.load(args.ref_cache)
         assert int(c['ref_seeds']) == args.ref_seeds, (
@@ -87,22 +108,14 @@ def main(argv=None):
     else:
         tracks, n_counted_ref, _ = rc.run(np.random.default_rng(0),
                                           args.ref_seeds)
-        ref_lmi = np.array([t.vmax.max() for t in tracks])
-        ref_lat0 = np.array([t.lat[0] for t in tracks])
-        ref_month = np.array([t.month for t in tracks])
-        ref_pos = np.concatenate([np.stack([t.lon, t.lat], 1)
-                                  for t in tracks])
+        agg = ref_aggregates(rc, tracks, n_counted_ref, dt_s)
+        ref_lmi, ref_lat0, ref_month = agg['lmi'], agg['lat0'], agg['month']
+        ref_pos, ref_pdi, ref_lf = agg['pos'], agg['pdi'], agg['lf']
+        ref_spm = agg['spm']
         ref_surv = len(tracks) / n_counted_ref
-        ref_pdi = np.array([pdi_of(t.vmax) for t in tracks])
-        ref_lf = np.array([v for t in tracks
-                           for v in [landfall_vmax(t.lon, t.lat, t.vmax)]
-                           if v is not None])
-        ref_spm = rc.counted_by_bm.astype(float)
         if args.ref_cache:
-            np.savez_compressed(
-                args.ref_cache, ref_seeds=args.ref_seeds, lmi=ref_lmi,
-                lat0=ref_lat0, month=ref_month, pos=ref_pos, pdi=ref_pdi,
-                lf=ref_lf, spm=ref_spm, n_counted=n_counted_ref)
+            np.savez_compressed(args.ref_cache, ref_seeds=args.ref_seeds,
+                                **agg)
             print(f'reference side cached to {args.ref_cache}', flush=True)
 
     n_basins = ref_spm.shape[0]
@@ -125,9 +138,9 @@ def main(argv=None):
         months.append(np.asarray(tr['month'])[:k])
         fin = np.isfinite(lon)
         poss.append(np.stack([lon[fin], lat[fin]], 1))
-        pdis.append(pdi_of(vmax))
+        pdis.append(pdi_of(vmax, dt_s))
         for j in range(k):
-            v = landfall_vmax(lon[j], lat[j], vmax[j])
+            v = landfall_vmax(rc.f_land, lon[j], lat[j], vmax[j])
             if v is not None:
                 lfs.append(v)
         cm = np.asarray(meta['counted'])
