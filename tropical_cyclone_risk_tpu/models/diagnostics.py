@@ -88,24 +88,33 @@ def _translation_tm(lon, lat, lon_prev, lat_prev, lon_next, lat_next, dt_s):
     The two haversines are specialized to their degenerate calls — the zonal
     distance has EQUAL latitudes (sin^2(dlat/2) is exactly 0.0 and the two
     cos(lat) factors are the same value) and the meridional distance EQUAL
-    longitudes — dropping 5 of the 12 per-row transcendentals of the generic
-    pair.  Zonal distances are bit-identical to sphere.haversine; meridional
-    ones agree to ~1 ulp of the arcsin argument (~0.1 m; XLA's algebraic
-    simplifier factors deg2rad out of the single-use subtraction here, which
-    the generic form's extra cos() uses inhibit — sub-1e-4 m/s on vmax,
-    far inside the differential tests' 2e-3 tolerance).  This pass runs over
-    every launch row (~6.7M/launch), where it was ~40% of the vmax
-    diagnostic's cost."""
+    longitudes — and then the arcsin chains collapse (r5; this pass runs
+    over every launch row, ~6.7M/launch, where it was ~40% of the vmax
+    diagnostic's cost):
+
+    - zonal ``2 asin(cos(lat) |sin(dl2)|)``: the argument is the half
+      great-circle chord of ONE step's zonal displacement, physically
+      bounded by ~(40 m/s * 2 dt)/(2 R) ~ 0.05, so the 3-term odd series
+      ``asin(s) = s (1 + s^2 (1/6 + 3 s^2/40))`` is float32-exact (rel
+      truncation 15 s^6/336 < 1 ulp for s <= 0.12 ~ a 105 m/s
+      translation; beyond that it degrades gracefully at ~1e-5 relative) —
+      dropping the arcsin and the sqrt of the squared form;
+    - meridional ``2 asin(|sin(dp2)|) == 2 |dp2|`` exactly (|dp2| <= pi/2
+      always) — dropping sin, sqrt, and arcsin.
+
+    Agreement with sphere.haversine is ~1 ulp of the arc (~0.1 m, sub-1e-4
+    m/s on vmax, far inside the differential tests' 2e-3 tolerance and the
+    in-scan/standalone identity tests' 1e-4)."""
     km = constants.earth_R / 1000.0
     # zonal: haversine(lon_next, lat, lon_prev, lat)
     la = jnp.deg2rad(lat)
     dl2 = (jnp.deg2rad(lon_prev) - jnp.deg2rad(lon_next)) / 2
-    a_lon = jnp.square(jnp.cos(la)) * jnp.square(jnp.sin(dl2))
-    hav_lon = km * 2 * jnp.arcsin(jnp.sqrt(a_lon))
+    s = jnp.cos(la) * jnp.abs(jnp.sin(dl2))
+    s2 = jnp.square(s)
+    hav_lon = km * 2 * (s * (1.0 + s2 * (1.0 / 6.0 + s2 * (3.0 / 40.0))))
     # meridional: haversine(lon, lat_next, lon, lat_prev)
     dp2 = (jnp.deg2rad(lat_prev) - jnp.deg2rad(lat_next)) / 2
-    a_lat = jnp.square(jnp.sin(dp2))
-    hav_lat = km * 2 * jnp.arcsin(jnp.sqrt(a_lat))
+    hav_lat = km * 2 * jnp.abs(dp2)
     dlon = 0.5 * (jnp.sign(lon_next - lon_prev) * hav_lon)
     dlat = 0.5 * (jnp.sign(lat_next - lat_prev) * hav_lat)
     return dlon * 1000.0 / dt_s, dlat * 1000.0 / dt_s
