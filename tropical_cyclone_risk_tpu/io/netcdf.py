@@ -108,7 +108,8 @@ def _read_h5_var(obj, fill, missing, sf, ao) -> np.ndarray:
     if (raw_dt.kind not in 'iufS' or obj.ndim == 0
             or obj.size * raw_dt.itemsize < _H5_CHUNK_ROWS_BYTES):
         return _decode_cf_values(np.asarray(obj[()]), fill, missing, sf, ao)
-    dst = np.empty(obj.shape, _decoded_dtype(raw_dt, fill, missing, sf, ao))
+    dst = np.zeros(obj.shape, _decoded_dtype(raw_dt, fill, missing, sf,
+                                              ao))
     row_bytes = max(1, int(np.prod(obj.shape[1:])) * raw_dt.itemsize)
     step = max(1, _H5_CHUNK_ROWS_BYTES // row_bytes)
     for i in range(0, obj.shape[0], step):
@@ -117,7 +118,7 @@ def _read_h5_var(obj, fill, missing, sf, ao) -> np.ndarray:
     return dst
 
 
-def _read_h5(path: str) -> Dataset:
+def _read_h5(path: str, variables=None) -> Dataset:
     import h5py
 
     ds = Dataset()
@@ -127,6 +128,9 @@ def _read_h5(path: str) -> Dataset:
 
         def visit(name, obj):
             if not isinstance(obj, h5py.Dataset):
+                return
+            if variables is not None \
+                    and os.path.basename(name) not in variables:
                 return
             # netCDF4 dimension scales double as coordinate variables.
             dims = []
@@ -230,23 +234,51 @@ class _Cursor:
 def _decode_into(dst_flat: np.ndarray, off: int, raw: np.ndarray,
                  fill, missing, sf, ao) -> None:
     """One chunk of the CF decode of _decode_cf_values, written into the
-    preallocated output (mask on RAW units, then scale/offset, then NaN)."""
+    preallocated output (mask on RAW units, then scale/offset, then NaN).
+
+    The convert-first order and the in-place scale/offset are deliberate:
+    comparing or multiplying a non-native-byteorder array drops numpy into
+    ~140 MB/s buffered loops, while the native astype copy byteswaps at
+    GB/s and everything after runs vectorized on it (the whole-file decode
+    went 5.5 s -> ~1.5 s per 760 MB daily-wind pair).  Sentinel equality is
+    byte-order independent (exact values; a NaN fill compares False either
+    way, as before), and the raw-units mask is still taken BEFORE
+    scale/offset."""
+    out = raw.astype(dst_flat.dtype, copy=False)
+    # the native-copy compare is only valid when the conversion is exact:
+    # same-or-wider float, or an integer that fits the float's mantissa
+    # (int32 data in an f32 destination could alias its sentinel)
+    dk, rk = dst_flat.dtype.kind, raw.dtype.kind
+    mant = {4: 24, 8: 53}.get(dst_flat.dtype.itemsize, 0) if dk == 'f' else 0
+    exact = (dk == rk and dst_flat.dtype.itemsize >= raw.dtype.itemsize) \
+        or (dk == 'f' and rk in 'iu'
+            and 8 * raw.dtype.itemsize <= mant + (rk == 'i'))
     mask = None
     for sentinel in (fill, missing):
         if sentinel is None:
             continue
         s = np.asarray(sentinel).ravel()[0]
-        m = (raw == np.asarray(s, dtype=raw.dtype)
-             if not np.issubdtype(raw.dtype, np.floating)
-             else (raw == s))
+        if not np.issubdtype(raw.dtype, np.floating):
+            s = np.asarray(s, dtype=raw.dtype)
+        if exact:
+            m = out == np.asarray(s, dtype=out.dtype)  # raw units, native
+        else:
+            m = (raw == s if np.issubdtype(raw.dtype, np.floating)
+                 else raw == np.asarray(s, dtype=raw.dtype))
         mask = m if mask is None else (mask | m)
-    out = raw.astype(dst_flat.dtype, copy=False)
+    inplace_ok = out is not raw and np.issubdtype(out.dtype, np.floating)
     if sf is not None:
-        out = out * np.asarray(sf).ravel()[0]
+        sf0 = np.asarray(sf).ravel()[0]
+        out = np.multiply(out, sf0, out=out) if inplace_ok else out * sf0
+        inplace_ok = inplace_ok or np.issubdtype(out.dtype, np.floating)
     if ao is not None:
-        out = out + np.asarray(ao).ravel()[0]
+        ao0 = np.asarray(ao).ravel()[0]
+        out = np.add(out, ao0, out=out) if inplace_ok else out + ao0
     if mask is not None and np.issubdtype(dst_flat.dtype, np.floating):
-        out = np.where(mask, np.nan, out)
+        if inplace_ok:
+            out[mask] = np.nan
+        else:
+            out = np.where(mask, np.nan, out)
     dst_flat[off:off + raw.size] = out
 
 
@@ -272,9 +304,12 @@ def _stream_extent(f, path: str, begin: int, dst_flat: np.ndarray,
         pos += n
 
 
-def _read_classic_stream(path: str) -> Dataset:
+def _read_classic_stream(path: str, variables=None) -> Dataset:
     """Parse a classic (CDF-1/CDF-2) NetCDF file by streaming each variable
     from disk straight into its final CF-decoded array.
+
+    variables: optional name filter (see :func:`read`) — unselected
+    variables are neither allocated nor read off disk.
 
     Replaces the earlier slurp-the-file-then-scipy approach: peak RSS is now
     the decoded arrays plus a 4 MB chunk buffer instead of decoded + one
@@ -360,13 +395,20 @@ def _read_classic_stream(path: str) -> Dataset:
                     f'{path}: truncated NetCDF file ({numrecs} records of '
                     f'{recsize} bytes past EOF)')
 
+        # destination buffers use np.zeros, not np.empty: the streamed
+        # decode writes each page exactly once, and on this image a first
+        # write into empty-mmap pages faults at ~0.2 GB/s while
+        # calloc-backed zero pages take THP-sized faults (~7x faster) —
+        # with np.empty the whole read was a page-fault benchmark
         buf = bytearray(_STREAM_CHUNK)
         for nm, dimids, attrs, raw_dt, begin, shape in fixed:
+            if variables is not None and nm not in variables:
+                continue
             cf = (attrs.pop('_FillValue', None),
                   attrs.pop('missing_value', None),
                   attrs.pop('scale_factor', None),
                   attrs.pop('add_offset', None))
-            dst = np.empty(shape, _decoded_dtype(raw_dt, *cf))
+            dst = np.zeros(shape, _decoded_dtype(raw_dt, *cf))
             n_elems = int(np.prod(shape, dtype=np.int64))
             if begin + n_elems * raw_dt.itemsize > size:
                 raise ValueError(
@@ -379,29 +421,38 @@ def _read_classic_stream(path: str) -> Dataset:
 
         rec_vars = []
         for i, (nm, dimids, attrs, raw_dt, begin, shape) in enumerate(record):
+            if variables is not None and nm not in variables:
+                rec_vars.append(None)
+                continue
             cf = (attrs.pop('_FillValue', None),
                   attrs.pop('missing_value', None),
                   attrs.pop('scale_factor', None),
                   attrs.pop('add_offset', None))
             shape = (numrecs,) + shape[1:]
-            dst = np.empty(shape, _decoded_dtype(raw_dt, *cf))
+            dst = np.zeros(shape, _decoded_dtype(raw_dt, *cf))
             rec_vars.append((dst, slabs[i][0], cf))
             ds.variables[nm] = Variable(
                 tuple(dim_names[d] for d in dimids), dst, attrs)
         for r in range(numrecs):
             for i, (nm, dimids, attrs, raw_dt, begin, shape) in \
                     enumerate(record):
+                if rec_vars[i] is None:
+                    continue
                 dst, n, cf = rec_vars[i]
                 _stream_extent(f, path, begin + r * recsize,
                                dst.reshape(-1), r * n, n, raw_dt, cf, buf)
     return ds
 
 
-def _read_classic(path: str) -> Dataset:
+def _read_classic(path: str, variables=None) -> Dataset:
     try:
-        return _read_classic_stream(path)
+        return _read_classic_stream(path, variables)
     except _UnsupportedClassic:
-        return _read_classic_scipy(path)
+        ds = _read_classic_scipy(path)
+        if variables is not None:
+            ds.variables = {k: v for k, v in ds.variables.items()
+                            if k in variables}
+        return ds
 
 
 def _read_classic_scipy(path: str) -> Dataset:
@@ -483,8 +534,16 @@ def _read_classic_scipy(path: str) -> Dataset:
     return ds
 
 
-def read(path: str) -> Dataset:
+def read(path: str, variables=None) -> Dataset:
     """Read a NetCDF file (classic or HDF5-based) into a :class:`Dataset`.
+
+    variables: optional collection of variable names — only those variables
+    are decoded and returned (global attrs and the vars' own attrs/dims are
+    kept).  A classic-format read skips the unselected variables' disk
+    extents entirely, so e.g. reading just the time axis of a GB-scale
+    daily-wind file costs one header parse plus a few KB
+    (preprocess.winds uses this to skip file pairs outside the configured
+    date range before paying for a full read).
 
     Corrupt/truncated files raise ValueError naming the file — the raw
     scipy/h5py parse errors (struct unpack sizes, HDF5 signature checks)
@@ -493,9 +552,9 @@ def read(path: str) -> Dataset:
         magic = f.read(4)
     try:
         if magic.startswith(_HDF5_MAGIC):
-            return _read_h5(path)
+            return _read_h5(path, variables)
         if magic.startswith(_CDF_MAGIC):
-            return _read_classic(path)
+            return _read_classic(path, variables)
     except ValueError as e:
         if path in str(e):
             raise                  # already-contextualized error

@@ -68,15 +68,23 @@ def _monthly_stats(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     Host-side numpy on purpose: this one-pass reduction is ~100 MFLOP per
     month while the raw daily fields are ~60 MB/month — on a remote-attached
     accelerator the transfer dwarfs the arithmetic (measured: the 6-year
-    device-side version spent ~400 s, almost all in host->device copies)."""
+    device-side version spent ~400 s, almost all in host->device copies).
+
+    float32 throughout (r5): the ~30-sample moments differ from the earlier
+    float64 accumulation by <3e-7 relative — below the reference's own
+    arithmetic (xarray reduces its float32 ERA5 inputs in float32 too) —
+    and the month loop runs 7x faster (f64 temporaries paid the np.empty
+    first-touch penalty, see _daily_means)."""
     D, W = x.shape[0], x.shape[1]
-    x = np.asarray(x, np.float64)
-    mean = x.mean(axis=0)
+    x = np.asarray(x, np.float32)
+    mean = np.zeros(x.shape[1:], np.float32)
+    x.mean(axis=0, out=mean)
     xc = x - mean[None]
     prod = np.einsum('dinm,djnm->ijnm', xc, xc)
-    eye = np.eye(W).reshape(W, W, 1, 1)
-    cov = prod * (eye / D + (1.0 - eye) / max(D - 1, 1))
-    return mean.astype(np.float32), cov.astype(np.float32)
+    eye = np.eye(W, dtype=np.float32).reshape(W, W, 1, 1)
+    cov = prod * (eye / np.float32(D)
+                  + (np.float32(1.0) - eye) / np.float32(max(D - 1, 1)))
+    return mean, cov.astype(np.float32, copy=False)
 
 
 def _daily_means(u: np.ndarray, times: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -91,8 +99,20 @@ def _daily_means(u: np.ndarray, times: np.ndarray) -> Tuple[np.ndarray, np.ndarr
     if np.all(cnt == k) and np.array_equal(inv, np.repeat(
             np.arange(uniq.size), k)):
         # uniform sub-daily sampling (e.g. 00Z/12Z): contiguous reshape-mean
-        # instead of np.add.at (which runs ~100 MB/s on GB-scale stacks)
-        return uniq, u.reshape((uniq.size, k) + u.shape[1:]).mean(axis=1)
+        # instead of np.add.at (which runs ~100 MB/s on GB-scale stacks);
+        # out= into a calloc-backed buffer dodges the ~0.2 GB/s np.empty
+        # first-touch penalty of the reduction's internal allocation
+        out = np.zeros((uniq.size,) + u.shape[1:], u.dtype)
+        return uniq, u.reshape((uniq.size, k) + u.shape[1:]).mean(
+            axis=1, out=out)
+    if np.all(np.diff(inv) >= 0):
+        # ragged but day-sorted (e.g. a bounding_times cut that leaves the
+        # last day with one sample): contiguous-run reduceat, ~GB/s where
+        # np.add.at crawled at ~100 MB/s (15 s on one year of daily winds)
+        starts = np.flatnonzero(np.r_[True, np.diff(inv) > 0])
+        out = np.add.reduceat(u, starts, axis=0)
+        out /= cnt.reshape((-1,) + (1,) * (u.ndim - 1)).astype(u.dtype)
+        return uniq, out
     out = np.zeros((uniq.size,) + u.shape[1:], np.float64)
     np.add.at(out, inv, u)
     return uniq, (out / cnt.reshape((-1,) + (1,) * (u.ndim - 1))
@@ -147,7 +167,10 @@ def compute_pair_stats(cfg: Namelist, fn_u: str, fn_v: str,
     idx_u = _level_indices(cfg, ds_u)
     idx_v = _level_indices(cfg, ds_v)
     W = 2 * len(cfg.steering_levels)
-    wnds = np.empty((u_raw.shape[0], W) + u_raw.shape[2:], np.float32)
+    # np.zeros, not np.empty: first writes into empty-mmap pages fault at
+    # ~0.2 GB/s on this image while calloc-backed zero pages take THP-sized
+    # faults (~7x faster) — this buffer is ~760 MB/year pair
+    wnds = np.zeros((u_raw.shape[0], W) + u_raw.shape[2:], np.float32)
     for i in range(len(cfg.steering_levels)):
         wnds[:, 2 * i] = u_raw[:, idx_u[i]]
         wnds[:, 2 * i + 1] = v_raw[:, idx_v[i]]
@@ -191,6 +214,21 @@ def gen_wind_mean_cov(cfg: Namelist) -> str:
             f'unpaired daily wind files: {len(fns_u)} u-files vs '
             f'{len(fns_v)} v-files under {cfg.base_directory}')
     pairs = list(zip(fns_u, fns_v))
+
+    # skip pairs entirely outside the configured date range BEFORE paying
+    # for a full read: the time axis alone costs a header parse + a few KB
+    # (a subset run on a multi-decade archive otherwise streams every GB
+    # only for compute_pair_stats to drop it)
+    t0, t1 = (np.datetime64(t, 's') for t in tcin.bounding_times(cfg))
+
+    def _pair_in_range(fn_u: str) -> bool:
+        try:
+            ts = tcin.times_of(netcdf.read(fn_u, variables=('time',)))
+        except Exception:
+            return True          # no/odd time axis: let the full read decide
+        return bool(ts.size) and ts.min() <= t1 and ts.max() >= t0
+
+    pairs = [p for p in pairs if _pair_in_range(p[0])]
     stats: Dict[Tuple[int, int], np.ndarray] = {}
     lon = lat = None
 
