@@ -67,6 +67,14 @@ def main(argv=None):
                     help='field_sample_stride for the TPU-pipeline side '
                          '(default: the config default; the reference '
                          'chain is stride-independent)')
+    ap.add_argument('--exact-stage-fields', action='store_true',
+                    help='rk_exact_stage_fields=True on the TPU side: '
+                         'per-RK-stage field sampling AND per-eval wind '
+                         'coloring — the maximal-fidelity RK4, isolating '
+                         'the frozen-fields/coloring-cadence deviations')
+    ap.add_argument('--rk-substeps', type=int, default=None,
+                    help='rk_substeps on the TPU side (solve_ivp-accuracy '
+                         'isolator)')
     ap.add_argument('--ref-cache', default=None,
                     help='npz path: save the reference-chain aggregates on '
                          'first run, reuse them on later runs — the '
@@ -89,6 +97,10 @@ def main(argv=None):
     cfg = Namelist(seed_batch=8192)
     if args.stride is not None:
         cfg = cfg.replace(field_sample_stride=args.stride)
+    if args.exact_stage_fields:
+        cfg = cfg.replace(rk_exact_stage_fields=True)
+    if args.rk_substeps is not None:
+        cfg = cfg.replace(rk_substeps=args.rk_substeps)
     pack = synthetic_pack(cfg, n_planes=12, nlat=91, nlon=180, seed=0)
 
     rc = ReferenceChain(pack, cfg, 'GL')

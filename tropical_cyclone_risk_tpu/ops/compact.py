@@ -7,11 +7,13 @@ prefix-sum plus one scatter (O(n)).  Two measurement tools disagreed on
 the win: floor-amortized micro-timing (tools/bench_order_micro.py) put
 the argsorts at several ms per launch across the ~25 call sites, while
 whole-program ablation (docs/performance.md r4 decomposition) measured
-them at the relay floor.  Since round 5 every production call site
-(integrate compaction, the re-compaction boundaries, the seeding retry
-rounds, survivor compaction) uses this helper — identical permutation,
-pinned bit-for-bit; the launch-level A/B lives in docs/performance.md
-(round-5 section).
+them at the relay floor — XLA fuses either idiom into the surrounding
+gathers, so the launch-level difference is below run noise and the
+micro-timing's isolated-op framing overstated it.  Since round 5 every
+production call site (integrate compaction, the re-compaction
+boundaries, the seeding retry rounds, survivor compaction) uses this
+helper anyway: identical permutation, pinned bit-for-bit, and O(n) work
+is the right asymptotic for any future wider batch.
 
 Identity: the keys ``where(mask, slot, slot + n)`` are distinct, so the
 argsort is unique and equals this rank construction exactly — masked slots
