@@ -67,6 +67,11 @@ def main(argv=None):
                     help='field_sample_stride for the TPU-pipeline side '
                          '(default: the config default; the reference '
                          'chain is stride-independent)')
+    ap.add_argument('--tpu-dump', default=None,
+                    help='npz path: dump the per-launch TPU-side aggregates '
+                         '(lmi/lat0/pdi + launch index) for offline '
+                         'diagnostics — null-calibration splits, CDF '
+                         'deviation shape')
     ap.add_argument('--exact-stage-fields', action='store_true',
                     help='rk_exact_stage_fields=True on the TPU side: '
                          'per-RK-stage field sampling AND per-eval wind '
@@ -168,6 +173,13 @@ def main(argv=None):
     tpu_pdi = np.concatenate(pdis)
     tpu_lf = np.array(lfs)
     tpu_surv = n_kept / n_counted
+    if args.tpu_dump:
+        np.savez_compressed(
+            args.tpu_dump, lmi=tpu_lmi, lat0=tpu_lat0, pdi=tpu_pdi,
+            month=tpu_month,
+            launch=np.concatenate([np.full(a.size, i, np.int32)
+                                   for i, a in enumerate(lmis)]))
+        print(f'TPU-side aggregates dumped to {args.tpu_dump}', flush=True)
 
     def density(pos):
         h, _, _ = np.histogram2d(pos[:, 1], pos[:, 0] % 360.0,
