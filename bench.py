@@ -205,8 +205,10 @@ def main():
                            'rejection-loop iterations, bit-identical '
                            'outputs to integrating all slots); fields '
                            'sampled once per field_sample_stride steps '
-                           '(105k-seed chain parity at this default: '
-                           'docs/chain_parity.json); see '
+                           '(240k-seed chain parity at this default: '
+                           'docs/chain_parity.json, stride-insensitive '
+                           'residual bias quantified in '
+                           'docs/chain_parity_bias.md); see '
                            'docs/performance.md'),
             'device': str(dev),
             'platform': dev.platform,
